@@ -1,0 +1,405 @@
+"""Compile a Paddle inference graph to a pure JAX function.
+
+This is the TPU-native replacement for the ``paddle_infer::Predictor`` the
+reference drives at /root/reference/src/ocr_det.cpp:116-132: instead of an
+opaque C++ graph runtime with MKLDNN kernels and IR fusion passes, the
+exported ``ProgramDesc`` is interpreted once at build time into a chain of
+jnp/lax calls, and ``jax.jit`` + XLA do the fusion and MXU tiling.
+
+Design notes (TPU-first):
+  * The returned ``forward(params, feeds)`` is pure: params is a flat
+    ``{var_name: array}`` pytree, so it composes with jit/grad/vmap/pjit.
+  * Shape-metadata ops (``shape``/``slice``-on-shape/``fill_constant``/
+    ``reshape2`` via ShapeTensor) are evaluated eagerly on concrete numpy
+    values during tracing, so the traced graph has fully static shapes —
+    no data-dependent control flow reaches XLA.
+  * All convs lower to ``lax.conv_general_dilated`` (NCHW/OIHW) which XLA
+    maps onto the MXU; elementwise chains fuse around them.
+
+Supported op set = exactly what the PP-OCRv4 det / ch_ppocr_mobile_v2 cls /
+PP-OCRv4 rec graphs contain (see tests/test_paddle_compat.py).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from .program import OpDesc, ProgramDesc
+
+_FILL_DTYPES = {0: np.bool_, 1: np.int16, 2: np.int32, 3: np.int64, 5: np.float32, 6: np.float64}
+
+
+def _is_static(x) -> bool:
+    """True for host-side metadata values (python ints / numpy arrays)."""
+    return isinstance(x, (int, float, np.ndarray, np.integer, np.floating))
+
+
+def _pair(v: Sequence[int]) -> List[int]:
+    v = list(v)
+    return v * 2 if len(v) == 1 else v
+
+
+def _conv_padding(attrs: Dict, kh: int, kw: int, dil) -> List:
+    algo = attrs.get("padding_algorithm", "EXPLICIT")
+    if algo == "VALID":
+        return [(0, 0), (0, 0)]
+    if algo == "SAME":
+        return "SAME"
+    p = list(attrs.get("paddings", [0, 0]))
+    if len(p) == 2:
+        return [(p[0], p[0]), (p[1], p[1])]
+    if len(p) == 4:  # [top, bottom, left, right]
+        return [(p[0], p[1]), (p[2], p[3])]
+    raise ValueError(f"bad paddings {p}")
+
+
+def _op_conv2d(op: OpDesc, x, w):
+    strides = tuple(op.attr("strides", [1, 1]))
+    dil = tuple(op.attr("dilations", [1, 1]))
+    groups = int(op.attr("groups", 1) or 1)
+    pad = _conv_padding(op.attrs, w.shape[2], w.shape[3], dil)
+    return lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=strides,
+        padding=pad,
+        rhs_dilation=dil,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        feature_group_count=groups,
+    )
+
+
+def _op_conv2d_transpose(op: OpDesc, x, w):
+    # Paddle weight layout: (C_in, C_out/groups, kH, kW)
+    sh, sw = op.attr("strides", [1, 1])
+    p = list(op.attr("paddings", [0, 0]))
+    if len(p) == 2:
+        pt, pb, pl, pr = p[0], p[0], p[1], p[1]
+    else:
+        pt, pb, pl, pr = p
+    opad = list(op.attr("output_padding", []) or [0, 0])
+    if len(opad) == 0:
+        opad = [0, 0]
+    groups = int(op.attr("groups", 1) or 1)
+    if groups != 1:
+        raise NotImplementedError("grouped conv2d_transpose not used by PP-OCR")
+    kh, kw = w.shape[2], w.shape[3]
+    kernel = jnp.flip(w.transpose(1, 0, 2, 3), axis=(2, 3))  # → (C_out, C_in, kH, kW)
+    return lax.conv_general_dilated(
+        x,
+        kernel,
+        window_strides=(1, 1),
+        padding=[(kh - 1 - pt, kh - 1 - pb + opad[0]), (kw - 1 - pl, kw - 1 - pr + opad[1])],
+        lhs_dilation=(sh, sw),
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+
+
+def _op_pool2d(op: OpDesc, x):
+    ptype = op.attr("pooling_type", "max")
+    adaptive = op.attr("adaptive", False)
+    ksize = _pair(op.attr("ksize", [1, 1]))
+    if op.attr("global_pooling", False) or (adaptive and ksize == [1, 1]):
+        if ptype == "avg":
+            return jnp.mean(x, axis=(2, 3), keepdims=True)
+        return jnp.max(x, axis=(2, 3), keepdims=True)
+    if adaptive:
+        # generic adaptive pooling: split H/W into ksize bins (PP-OCR only
+        # uses 1x1 adaptive, handled above; keep a safe general path)
+        oh, ow = ksize
+        n, c, h, wdt = x.shape
+        if h % oh == 0 and wdt % ow == 0:
+            xr = x.reshape(n, c, oh, h // oh, ow, wdt // ow)
+            return jnp.mean(xr, axis=(3, 5)) if ptype == "avg" else jnp.max(xr, axis=(3, 5))
+        raise NotImplementedError("non-divisible adaptive pool")
+    strides = tuple(op.attr("strides", ksize))
+    p = list(op.attr("paddings", [0, 0]))
+    if len(p) == 2:
+        pads = [(p[0], p[0]), (p[1], p[1])]
+    else:
+        pads = [(p[0], p[1]), (p[2], p[3])]
+    if op.attr("ceil_mode", False):
+        new_pads = []
+        for i, (dim, k, s, (lo, hi)) in enumerate(
+            zip(x.shape[2:], ksize, strides, pads)
+        ):
+            out_ceil = -(-(dim + lo + hi - k) // s) + 1
+            needed = (out_ceil - 1) * s + k - (dim + lo)
+            new_pads.append((lo, max(hi, needed)))
+        pads = new_pads
+    window = (1, 1) + tuple(ksize)
+    wstrides = (1, 1) + tuple(strides)
+    wpad = [(0, 0), (0, 0)] + pads
+    if ptype == "max":
+        init = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+        return lax.reduce_window(x, init, lax.max, window, wstrides, wpad)
+    s = lax.reduce_window(x, 0.0, lax.add, window, wstrides, wpad)
+    if op.attr("exclusive", True):
+        ones = jnp.ones(x.shape[2:], x.dtype)
+        cnt = lax.reduce_window(ones, 0.0, lax.add, tuple(ksize), tuple(strides), pads)
+        return s / cnt[None, None]
+    return s / (ksize[0] * ksize[1])
+
+
+def _broadcast_y(x, y, axis: int):
+    """Paddle elementwise broadcasting: align y into x starting at `axis`."""
+    xs, ys = jnp.shape(x), jnp.shape(y)
+    if axis == -1 or len(xs) == len(ys):
+        return x, y
+    if len(ys) < len(xs):
+        shape = [1] * axis + list(ys) + [1] * (len(xs) - axis - len(ys))
+        return x, jnp.reshape(y, shape)
+    # x is the smaller operand (param-first patterns like mobile_one scales)
+    shape = [1] * axis + list(xs) + [1] * (len(ys) - axis - len(xs))
+    return jnp.reshape(x, shape), y
+
+
+def _op_slice(op: OpDesc, x):
+    axes = op.attr("axes", [])
+    starts = op.attr("starts", [])
+    ends = op.attr("ends", [])
+    idx = [slice(None)] * np.ndim(x)
+    for ax, st, en in zip(axes, starts, ends):
+        dim = np.shape(x)[ax]
+        st = max(st + dim, 0) if st < 0 else min(st, dim)
+        en = max(en + dim, 0) if en < 0 else min(en, dim)
+        idx[ax] = slice(st, en)
+    out = x[tuple(idx)]
+    dec = op.attr("decrease_axis", []) or []
+    if dec:
+        out = np.squeeze(out, axis=tuple(dec)) if _is_static(out) else jnp.squeeze(out, axis=tuple(dec))
+    return out
+
+
+def _resolve_shape(vals) -> List[int]:
+    out: List[int] = []
+    for v in vals:
+        a = np.asarray(v)
+        out.extend(int(e) for e in np.atleast_1d(a))
+    return out
+
+
+def build_forward(program: ProgramDesc) -> Callable:
+    """Return ``forward(params: dict, feeds: dict) -> dict`` for the program.
+
+    The function is trace-compatible: wrap it in ``jax.jit`` (donating/
+    sharding as desired). Feed/fetch names come from
+    ``program.feed_names()`` / ``program.fetch_names()``.
+    """
+    ops = [op for op in program.main_block.ops]
+
+    def forward(params: Dict[str, jnp.ndarray], feeds: Dict[str, jnp.ndarray]):
+        env: Dict[str, object] = {}
+
+        def get(name: str):
+            if name in env:
+                return env[name]
+            return params[name]
+
+        fetches: Dict[str, jnp.ndarray] = {}
+        for op in ops:
+            t = op.type
+            if t == "feed":
+                env[op.output("Out")[0]] = feeds[op.output("Out")[0]]
+            elif t == "fetch":
+                fetches[op.input("X")[0]] = get(op.input("X")[0])
+            elif t in ("conv2d", "depthwise_conv2d"):
+                env[op.output("Output")[0]] = _op_conv2d(
+                    op, get(op.input("Input")[0]), get(op.input("Filter")[0])
+                )
+            elif t == "conv2d_transpose":
+                env[op.output("Output")[0]] = _op_conv2d_transpose(
+                    op, get(op.input("Input")[0]), get(op.input("Filter")[0])
+                )
+            elif t == "batch_norm":
+                x = get(op.input("X")[0])
+                scale = get(op.input("Scale")[0])
+                bias = get(op.input("Bias")[0])
+                mean = get(op.input("Mean")[0])
+                var = get(op.input("Variance")[0])
+                eps = op.attr("epsilon", 1e-5)
+                inv = scale * lax.rsqrt(var + eps)
+                env[op.output("Y")[0]] = x * inv[None, :, None, None] + (
+                    bias - mean * inv
+                )[None, :, None, None]
+            elif t == "layer_norm":
+                x = get(op.input("X")[0])
+                ax = op.attr("begin_norm_axis", 1)
+                eps = op.attr("epsilon", 1e-5)
+                red = tuple(range(ax, x.ndim))
+                mu = jnp.mean(x, axis=red, keepdims=True)
+                var = jnp.var(x, axis=red, keepdims=True)
+                y = (x - mu) * lax.rsqrt(var + eps)
+                if op.input("Scale"):
+                    y = y * get(op.input("Scale")[0])
+                if op.input("Bias"):
+                    y = y + get(op.input("Bias")[0])
+                env[op.output("Y")[0]] = y
+            elif t == "pool2d":
+                env[op.output("Out")[0]] = _op_pool2d(op, get(op.input("X")[0]))
+            elif t in ("elementwise_add", "elementwise_mul"):
+                x = get(op.input("X")[0])
+                y = get(op.input("Y")[0])
+                axis = op.attr("axis", -1)
+                if axis is not None and axis >= 0:
+                    x, y = _broadcast_y(x, y, axis)
+                env[op.output("Out")[0]] = x + y if t == "elementwise_add" else x * y
+            elif t == "relu":
+                env[op.output("Out")[0]] = jnp.maximum(get(op.input("X")[0]), 0)
+            elif t == "sigmoid":
+                env[op.output("Out")[0]] = jax.nn.sigmoid(get(op.input("X")[0]))
+            elif t == "hard_swish":
+                x = get(op.input("X")[0])
+                off = op.attr("offset", 3.0)
+                thr = op.attr("threshold", 6.0)
+                sc = op.attr("scale", 6.0)
+                env[op.output("Out")[0]] = x * jnp.clip(x + off, 0.0, thr) / sc
+            elif t == "hard_sigmoid":
+                x = get(op.input("X")[0])
+                slope = op.attr("slope", 0.2)
+                off = op.attr("offset", 0.5)
+                env[op.output("Out")[0]] = jnp.clip(slope * x + off, 0.0, 1.0)
+            elif t == "swish":
+                x = get(op.input("X")[0])
+                beta = op.attr("beta", 1.0)
+                env[op.output("Out")[0]] = x * jax.nn.sigmoid(beta * x)
+            elif t == "softmax":
+                ax = op.attr("axis", -1)
+                env[op.output("Out")[0]] = jax.nn.softmax(get(op.input("X")[0]), axis=ax)
+            elif t == "scale":
+                x = get(op.input("X")[0])
+                s = op.attr("scale", 1.0)
+                b = op.attr("bias", 0.0)
+                if op.attr("bias_after_scale", True):
+                    env[op.output("Out")[0]] = x * s + b
+                else:
+                    env[op.output("Out")[0]] = (x + b) * s
+            elif t == "matmul_v2":
+                x = get(op.input("X")[0])
+                y = get(op.input("Y")[0])
+                if op.attr("trans_x", False):
+                    x = jnp.swapaxes(x, -1, -2)
+                if op.attr("trans_y", False):
+                    y = jnp.swapaxes(y, -1, -2)
+                env[op.output("Out")[0]] = jnp.matmul(x, y)
+            elif t == "nearest_interp_v2":
+                x = get(op.input("X")[0])
+                scale = op.attr("scale", []) or []
+                oh, ow = op.attr("out_h", -1), op.attr("out_w", -1)
+                n, c, h, w = x.shape
+                if len(scale) == 2 and float(scale[0]).is_integer() and float(scale[1]).is_integer():
+                    env[op.output("Out")[0]] = jnp.repeat(
+                        jnp.repeat(x, int(scale[0]), axis=2), int(scale[1]), axis=3
+                    )
+                else:
+                    th = oh if oh > 0 else int(h * scale[0])
+                    tw = ow if ow > 0 else int(w * scale[1])
+                    env[op.output("Out")[0]] = jax.image.resize(
+                        x, (n, c, th, tw), method="nearest"
+                    )
+            elif t == "concat":
+                xs = [get(n) for n in op.input("X")]
+                ax = op.attr("axis", 0)
+                if all(_is_static(v) for v in xs):
+                    env[op.output("Out")[0]] = np.concatenate(
+                        [np.atleast_1d(np.asarray(v)) for v in xs], axis=ax
+                    )
+                else:
+                    env[op.output("Out")[0]] = jnp.concatenate(xs, axis=ax)
+            elif t == "shape":
+                x = get(op.input("Input")[0])
+                env[op.output("Out")[0]] = np.asarray(np.shape(x), dtype=np.int32)
+            elif t == "slice":
+                env[op.output("Out")[0]] = _op_slice(op, get(op.input("Input")[0]))
+            elif t == "fill_constant":
+                shape = op.attr("shape", [1])
+                dt = _FILL_DTYPES.get(op.attr("dtype", 5), np.float32)
+                env[op.output("Out")[0]] = np.full(shape, op.attr("value", 0.0), dtype=dt)
+            elif t == "reshape2":
+                x = get(op.input("X")[0])
+                if op.input("ShapeTensor"):
+                    shape = _resolve_shape([get(n) for n in op.input("ShapeTensor")])
+                elif op.input("Shape"):
+                    shape = _resolve_shape([get(op.input("Shape")[0])])
+                else:
+                    shape = list(op.attr("shape", []))
+                # Paddle reshape: 0 → copy the corresponding input dim
+                shape = [
+                    int(x.shape[i]) if s == 0 else int(s) for i, s in enumerate(shape)
+                ]
+                env[op.output("Out")[0]] = jnp.reshape(x, shape)
+            elif t == "transpose2":
+                env[op.output("Out")[0]] = jnp.transpose(
+                    get(op.input("X")[0]), axes=op.attr("axis")
+                )
+            elif t == "flatten_contiguous_range":
+                x = get(op.input("X")[0])
+                st = op.attr("start_axis", 1)
+                en = op.attr("stop_axis", -1)
+                if en < 0:
+                    en += x.ndim
+                shape = list(x.shape[:st]) + [-1] + list(x.shape[en + 1 :])
+                env[op.output("Out")[0]] = jnp.reshape(x, shape)
+            elif t == "squeeze2":
+                axes = tuple(op.attr("axes", []) or [])
+                env[op.output("Out")[0]] = jnp.squeeze(get(op.input("X")[0]), axis=axes or None)
+            elif t == "unsqueeze2":
+                axes = tuple(op.attr("axes", []))
+                x = get(op.input("X")[0])
+                for ax in sorted(axes):
+                    x = jnp.expand_dims(x, ax)
+                env[op.output("Out")[0]] = x
+            elif t == "dropout":
+                x = get(op.input("X")[0])
+                if op.attr("dropout_implementation", "") == "downgrade_in_infer":
+                    x = x * (1.0 - op.attr("dropout_prob", 0.0))
+                env[op.output("Out")[0]] = x
+            elif t == "assign":
+                env[op.output("Out")[0]] = get(op.input("X")[0])
+            else:
+                raise NotImplementedError(f"paddle op '{t}' not supported")
+
+        return {name: fetches[name] for name in program.fetch_names()}
+
+    return forward
+
+
+def init_random_params(program: ProgramDesc, seed: int = 0) -> Dict[str, np.ndarray]:
+    """Deterministic stand-in weights for graphs whose .pdiparams is absent
+    (det/rec — see /root/reference/models/det/.MISSING_LARGE_BLOBS analog in
+    SURVEY.md §2.2). Shapes/dtypes come from the program's persistable vars;
+    BN/LN variance vars get positive values so rsqrt stays finite.
+    """
+    rng = np.random.default_rng(seed)
+    out: Dict[str, np.ndarray] = {}
+    for var in program.persistable_vars():
+        if var.tensor is None:
+            continue
+        dims = [int(d) for d in var.tensor.dims]
+        name = var.name
+        lname = name.lower()
+        if var.tensor.dtype_name not in ("float32", "float64", "float16"):
+            out[name] = np.zeros(dims, dtype=var.tensor.dtype_name)
+            continue
+        fan_in = int(np.prod(dims[1:])) if len(dims) > 1 else max(dims[0], 1)
+        std = (2.0 / max(fan_in, 1)) ** 0.5
+        if ".w_2" in name or "variance" in lname:  # BN variance slot
+            arr = np.ones(dims, dtype=np.float32)
+        elif ".w_1" in name and "batch_norm" in lname:  # BN mean slot
+            arr = np.zeros(dims, dtype=np.float32)
+        elif len(dims) == 1:
+            # 1-D params: BN scale / biases / LN affine — keep near identity
+            arr = (
+                np.ones(dims, dtype=np.float32)
+                if (".w_0" in name and ("norm" in lname))
+                else np.zeros(dims, dtype=np.float32)
+            )
+        else:
+            arr = rng.normal(0.0, std, size=dims).astype(np.float32)
+        out[name] = arr
+    return out

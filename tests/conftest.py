@@ -1,0 +1,42 @@
+"""Test configuration: run the suite on a virtual 8-device CPU mesh.
+
+Multi-chip sharding (ppocr_tpu.parallel) is validated the JAX way — with
+``xla_force_host_platform_device_count`` — since only one physical TPU chip
+is attached during development (SURVEY.md §4).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import pathlib
+import sys
+
+REPO_ROOT = pathlib.Path(__file__).resolve().parent.parent
+if str(REPO_ROOT) not in sys.path:
+    sys.path.insert(0, str(REPO_ROOT))
+
+REFERENCE_ROOT = pathlib.Path("/root/reference")
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def reference_models():
+    path = REFERENCE_ROOT / "models"
+    if not path.exists():
+        pytest.skip("reference models not mounted")
+    return path
+
+
+@pytest.fixture(scope="session")
+def card_image_path():
+    path = REFERENCE_ROOT / "images" / "card-jd.jpg"
+    if not path.exists():
+        pytest.skip("reference card image not mounted")
+    return path
