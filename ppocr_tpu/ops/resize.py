@@ -1,0 +1,96 @@
+"""Image resize ops with the reference's exact rounding semantics.
+
+Host-side (cv2) because image decode/resize stay on the host in the TPU
+design (SURVEY.md §2.3); shapes produced here are static per bucket so the
+downstream jitted graphs never see dynamic dims.
+
+Semantics mirror /root/reference/src/preprocess_op.cpp:57-137 (behavior, not
+code): ResizeImgType0 → :func:`det_resize`, CrnnResizeImg →
+:func:`crnn_resize`, ClsResizeImg → :func:`cls_resize`.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Tuple
+
+import cv2
+import numpy as np
+
+
+def det_resize(
+    img: np.ndarray, limit_type: str = "max", limit_side_len: int = 960
+) -> Tuple[np.ndarray, float, float]:
+    """Scale so the limiting side hits ``limit_side_len``, then snap each
+    side to the nearest multiple of 32 (floor 32). Returns
+    (resized, ratio_h, ratio_w) where ratios are resized/src.
+    """
+    h, w = img.shape[:2]
+    ratio = 1.0
+    if limit_type == "min":
+        if min(h, w) < limit_side_len:
+            ratio = limit_side_len / (h if h < w else w)
+    else:
+        if max(h, w) > limit_side_len:
+            ratio = limit_side_len / (h if h > w else w)
+
+    resize_h = int(h * ratio)
+    resize_w = int(w * ratio)
+    # round-to-nearest /32 with floor of 32 — the det graph downsamples x32
+    resize_h = max(int(round(resize_h / 32) * 32), 32)
+    resize_w = max(int(round(resize_w / 32) * 32), 32)
+
+    resized = cv2.resize(img, (resize_w, resize_h))
+    return resized, resize_h / h, resize_w / w
+
+
+def det_resize_shape(
+    h: int, w: int, limit_type: str = "max", limit_side_len: int = 960
+) -> Tuple[int, int]:
+    """Output (H, W) that :func:`det_resize` would produce — used by the
+    serving path to pick/pad static compilation buckets."""
+    ratio = 1.0
+    if limit_type == "min":
+        if min(h, w) < limit_side_len:
+            ratio = limit_side_len / (h if h < w else w)
+    else:
+        if max(h, w) > limit_side_len:
+            ratio = limit_side_len / (h if h > w else w)
+    return (
+        max(int(round(int(h * ratio) / 32) * 32), 32),
+        max(int(round(int(w * ratio) / 32) * 32), 32),
+    )
+
+
+def rec_width_for_ratio(img_h: int, max_wh_ratio: float) -> int:
+    """Batch width the recognizer pads to for a given max aspect ratio."""
+    return int(img_h * max_wh_ratio)
+
+
+def crnn_resize(
+    img: np.ndarray, max_wh_ratio: float, rec_image_shape=(3, 48, 320)
+) -> np.ndarray:
+    """Resize a text-line crop to rec height, cap width at
+    ``img_h * max_wh_ratio``, right-pad with black to exactly that width."""
+    _, img_h, img_w = rec_image_shape
+    img_w = int(img_h * max_wh_ratio)
+    h, w = img.shape[:2]
+    ratio = w / h
+    resize_w = img_w if math.ceil(img_h * ratio) > img_w else int(math.ceil(img_h * ratio))
+    resized = cv2.resize(img, (resize_w, img_h), interpolation=cv2.INTER_LINEAR)
+    if resize_w < img_w:
+        resized = cv2.copyMakeBorder(
+            resized, 0, 0, 0, img_w - resize_w, cv2.BORDER_CONSTANT, value=(0, 0, 0)
+        )
+    return resized
+
+
+def cls_resize(img: np.ndarray, cls_image_shape=(3, 48, 192)) -> np.ndarray:
+    """Resize keeping aspect to cls height; the caller right-pads the batch
+    buffer with zeros (the reference pads implicitly via a zeroed input
+    tensor)."""
+    _, img_h, img_w = cls_image_shape
+    h, w = img.shape[:2]
+    ratio = w / h
+    resize_w = img_w if math.ceil(img_h * ratio) > img_w else int(math.ceil(img_h * ratio))
+    return cv2.resize(img, (resize_w, img_h), interpolation=cv2.INTER_LINEAR)
