@@ -184,12 +184,15 @@ def _resolve_shape(vals) -> List[int]:
     return out
 
 
-def build_forward(program: ProgramDesc) -> Callable:
+def build_forward(program: ProgramDesc, trace_hook: Callable = None) -> Callable:
     """Return ``forward(params: dict, feeds: dict) -> dict`` for the program.
 
     The function is trace-compatible: wrap it in ``jax.jit`` (donating/
     sharding as desired). Feed/fetch names come from
     ``program.feed_names()`` / ``program.fetch_names()``.
+
+    ``trace_hook(op, in_shapes, out_shape)`` is called per op during
+    tracing — used by the architecture summarizer, not the hot path.
     """
     ops = [op for op in program.main_block.ops]
 
@@ -364,6 +367,21 @@ def build_forward(program: ProgramDesc) -> Callable:
             else:
                 raise NotImplementedError(f"paddle op '{t}' not supported")
 
+            if trace_hook is not None and t not in ("feed", "fetch"):
+                outs = [
+                    env[n]
+                    for ns in op.outputs.values()
+                    for n in ns
+                    if n in env
+                ]
+                ins = [
+                    np.shape(get(n))
+                    for ns in op.inputs.values()
+                    for n in ns
+                    if n in env or n in params
+                ]
+                trace_hook(op, ins, [np.shape(o) for o in outs])
+
         return {name: fetches[name] for name in program.fetch_names()}
 
     return forward
@@ -388,17 +406,19 @@ def init_random_params(program: ProgramDesc, seed: int = 0) -> Dict[str, np.ndar
             continue
         fan_in = int(np.prod(dims[1:])) if len(dims) > 1 else max(dims[0], 1)
         std = (2.0 / max(fan_in, 1)) ** 0.5
-        if ".w_2" in name or "variance" in lname:  # BN variance slot
-            arr = np.ones(dims, dtype=np.float32)
-        elif ".w_1" in name and "batch_norm" in lname:  # BN mean slot
-            arr = np.zeros(dims, dtype=np.float32)
-        elif len(dims) == 1:
-            # 1-D params: BN scale / biases / LN affine — keep near identity
-            arr = (
-                np.ones(dims, dtype=np.float32)
-                if (".w_0" in name and ("norm" in lname))
-                else np.zeros(dims, dtype=np.float32)
-            )
+        if ("batch_norm" in lname or "bn" in lname.split(".")[0]) and ".w_2" in name:
+            # BN variance slot — keep strictly positive
+            arr = rng.uniform(0.5, 1.5, size=dims).astype(np.float32)
+        elif "batch_norm" in lname and ".w_1" in name:  # BN mean slot
+            arr = rng.normal(0.0, 0.2, size=dims).astype(np.float32)
+        elif "norm" in lname and ".w_0" in name:  # BN/LN scale
+            arr = rng.normal(1.0, 0.1, size=dims).astype(np.float32)
+        elif dims == [1]:
+            # scalar LAB affines (and 1-channel biases) — nonzero so the
+            # executor-vs-handwritten parity tests are discriminative
+            arr = rng.normal(0.8, 0.3, size=dims).astype(np.float32)
+        elif len(dims) == 1:  # biases / LN bias
+            arr = rng.normal(0.0, 0.1, size=dims).astype(np.float32)
         else:
             arr = rng.normal(0.0, std, size=dims).astype(np.float32)
         out[name] = arr
