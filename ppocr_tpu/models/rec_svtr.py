@@ -107,7 +107,11 @@ def rec_neck_head(params: Dict, feat: jnp.ndarray) -> jnp.ndarray:
     """avg-pool to 1×T, SVTR encoder branch, concat with pooled features,
     project to the charset (the exported 'ctc_encoder' + student CTC head)."""
     n, hh, ww, c = feat.shape
-    # avg pool k=(3,2) s=(3,2): height 3→1, width halves → T = W/8
+    # avg pool k=(3,2) s=(3,2): height → 1, width halves → T = W/8.
+    # Feature height is 3 for 48-px crops and 2 for the serving profile's
+    # 28-px crops; Paddle clips the k=3 window to the input (exclusive
+    # mean), so both cases equal a full-height mean.
+    assert hh <= 3, f"unexpected rec feature height {hh}"
     pooled = feat.reshape(n, 1, hh, ww // 2, 2, c).mean(axis=(2, 4))  # [N,1,T,480]
 
     y = _conv_bn_swish(pooled, params["conv1"], kw=3)  # 480→60

@@ -415,11 +415,15 @@ def init_random_params(program: ProgramDesc, seed: int = 0) -> Dict[str, np.ndar
             arr = rng.normal(1.0, 0.1, size=dims).astype(np.float32)
         elif dims == [1]:
             # scalar LAB affines (and 1-channel biases) — nonzero so the
-            # executor-vs-handwritten parity tests are discriminative
-            arr = rng.normal(0.8, 0.3, size=dims).astype(np.float32)
+            # executor-vs-handwritten parity tests are discriminative, but
+            # close to identity so activations through ~50 stacked convs
+            # neither explode nor underflow (pathological magnitudes hit
+            # denormal/inf slow paths on CPU test backends)
+            arr = rng.normal(1.0, 0.05, size=dims).astype(np.float32)
         elif len(dims) == 1:  # biases / LN bias
-            arr = rng.normal(0.0, 0.1, size=dims).astype(np.float32)
+            arr = rng.normal(0.0, 0.05, size=dims).astype(np.float32)
         else:
-            arr = rng.normal(0.0, std, size=dims).astype(np.float32)
+            # 0.5×He keeps the deep unnormalized LCNet stacks contractive
+            arr = rng.normal(0.0, 0.5 * std, size=dims).astype(np.float32)
         out[name] = arr
     return out

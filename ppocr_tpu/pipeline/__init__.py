@@ -1,0 +1,17 @@
+"""The det → crop → cls → rec pipeline (SURVEY.md §7 step 3)."""
+
+from .charset import load_charset
+from .config import ClsConfig, DetConfig, PipelineConfig, RecConfig
+from .engine import OCREngine, StageTimes
+from .worker import OCRWorker
+
+__all__ = [
+    "ClsConfig",
+    "DetConfig",
+    "OCREngine",
+    "OCRWorker",
+    "PipelineConfig",
+    "RecConfig",
+    "StageTimes",
+    "load_charset",
+]

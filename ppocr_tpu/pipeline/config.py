@@ -1,0 +1,100 @@
+"""Typed pipeline configuration with the reference's two profiles.
+
+The reference hard-codes hyperparameters in two places: the stage-class
+header defaults (ocr_det.h:108-123 etc.) and the serving profile the worker
+ctor passes (ocr_worker.cpp:14-63, tuned for "WeChat mini-program
+screenshots"). Both are reproduced here as named constructors.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Tuple
+
+
+@dataclass
+class DetConfig:
+    limit_type: str = "max"
+    limit_side_len: int = 960
+    thresh: float = 0.3
+    box_thresh: float = 0.5
+    unclip_ratio: float = 2.0
+    score_mode: str = "slow"
+    use_dilation: bool = False
+
+
+@dataclass
+class ClsConfig:
+    thresh: float = 0.98
+    batch_num: int = 8
+    image_shape: Tuple[int, int, int] = (3, 48, 192)  # C, H, W
+
+
+@dataclass
+class RecConfig:
+    batch_num: int = 6
+    img_h: int = 48
+    img_w: int = 320
+    # padded-width compilation buckets (multiples of 8 → integer timesteps);
+    # a batch uses the smallest bucket ≥ int(img_h · max_wh_ratio)
+    width_buckets: Tuple[int, ...] = (320, 448, 640, 896, 1280, 1792)
+
+
+@dataclass
+class PipelineConfig:
+    det: DetConfig = field(default_factory=DetConfig)
+    cls: ClsConfig = field(default_factory=ClsConfig)
+    rec: RecConfig = field(default_factory=RecConfig)
+    enable_cls: bool = True
+    # crop mode: "bounding" = axis-aligned cv::boundingRect (the worker's
+    # actual behavior, ocr_worker.cpp:245-259); "perspective" = the unused
+    # GetRotateCropImage path kept as an option (utility.cpp:137-190)
+    crop_mode: str = "bounding"
+    # compute dtype for the jitted model steps: "bfloat16" | "float32"
+    dtype: str = "bfloat16"
+
+    @classmethod
+    def defaults(cls) -> "PipelineConfig":
+        """Stage-header defaults (det 960/0.3/0.5/2.0/slow, rec 48×320×6)."""
+        return cls()
+
+    @classmethod
+    def serving(cls) -> "PipelineConfig":
+        """The worker's serving profile (ocr_worker.cpp:28-62): det
+        512/0.2/0.4/1.8/fast, cls 0.98×8, rec 16×28×192."""
+        return cls(
+            det=DetConfig(
+                limit_type="max",
+                limit_side_len=512,
+                thresh=0.2,
+                box_thresh=0.4,
+                unclip_ratio=1.8,
+                score_mode="fast",
+                use_dilation=False,
+            ),
+            cls=ClsConfig(thresh=0.98, batch_num=8),
+            rec=RecConfig(
+                batch_num=16,
+                img_h=28,
+                img_w=192,
+                width_buckets=(192, 256, 320, 448, 640, 896, 1280),
+            ),
+        )
+
+
+def batch_buckets(max_batch: int) -> List[int]:
+    """Power-of-two batch-size buckets up to the configured batch num."""
+    out, b = [], 1
+    while b < max_batch:
+        out.append(b)
+        b *= 2
+    out.append(max_batch)
+    return sorted(set(out))
+
+
+def pick_bucket(buckets, value: int) -> int:
+    """Smallest bucket ≥ value, else the largest bucket."""
+    for b in buckets:
+        if value <= b:
+            return b
+    return buckets[-1]

@@ -1,0 +1,302 @@
+"""Device-resident OCR engine: the three jitted model steps + bucketing.
+
+This is the TPU replacement for the reference's per-worker trio of Paddle
+predictors (ocr_worker.h:91-93). One engine owns one device-resident copy of
+all three models; concurrency comes from batched device steps rather than
+model replicas, so N workers do NOT cost N× memory.
+
+Static-shape discipline (XLA compiles per shape):
+  * det: jit-cached per resized (H, W) — both /32 multiples from
+    ops.det_resize, so the variant count is tiny for a given limit_side_len.
+  * cls: fixed (48, 192) crops; batch padded to power-of-two buckets.
+  * rec: width padded to config buckets, batch padded to buckets; crops are
+    aspect-sorted first exactly like ocr_rec.cpp:36-40 so same-bucket crops
+    batch together.
+
+Each step ships uint8 NHWC to the device and fuses cast+normalize into the
+model jit; only small decode tensors come back (CTC argmax/max instead of
+the full [N,T,6625] softmax — see ops.ctc).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import (
+    cast_tree,
+    cls_forward,
+    convert_cls_params,
+    convert_det_params,
+    convert_rec_params,
+    det_forward,
+    rec_forward,
+)
+from ..ops import crnn_resize, cls_resize, det_resize
+from ..ops.ctc import ctc_greedy_collapse, ctc_topk_device
+from ..ops.db_postprocess import DBPostProcess
+from ..ops.normalize import (
+    HALF_MEAN,
+    HALF_SCALE,
+    IMAGENET_MEAN,
+    IMAGENET_SCALE,
+    pack_batch,
+)
+from ..paddle_compat import init_random_params, load_params, load_program
+from ..utils import enable_persistent_cache
+from .charset import load_charset
+from .config import PipelineConfig, batch_buckets, pick_bucket
+
+
+def _nhwc_normalize(batch_u8, mean, scale):
+    x = batch_u8.astype(jnp.float32) / 255.0
+    return (x - jnp.asarray(mean, jnp.float32)) * jnp.asarray(scale, jnp.float32)
+
+
+@dataclass
+class StageTimes:
+    """Per-stage [preprocess, inference, postprocess] wall-clock ms,
+    mirroring the `times` vectors of ocr_det.cpp:168-175 etc. — but kept
+    and surfaced instead of discarded (SURVEY.md §5 tracing gap)."""
+
+    preprocess_ms: float = 0.0
+    inference_ms: float = 0.0
+    postprocess_ms: float = 0.0
+
+    def as_list(self) -> List[float]:
+        return [self.preprocess_ms, self.inference_ms, self.postprocess_ms]
+
+
+class OCREngine:
+    """Owns params on device + jitted forward steps for det/cls/rec."""
+
+    def __init__(
+        self,
+        model_dir: str,
+        config: Optional[PipelineConfig] = None,
+        device=None,
+    ):
+        self.config = config or PipelineConfig.serving()
+        self.model_dir = model_dir
+        enable_persistent_cache()
+        self.device = device or jax.devices()[0]
+        self.dtype = (
+            jnp.bfloat16 if self.config.dtype == "bfloat16" else jnp.float32
+        )
+        self.post = DBPostProcess(
+            thresh=self.config.det.thresh,
+            box_thresh=self.config.det.box_thresh,
+            unclip_ratio=self.config.det.unclip_ratio,
+            score_mode=self.config.det.score_mode,
+            use_dilation=self.config.det.use_dilation,
+        )
+        self.charset = load_charset(
+            os.path.join(model_dir, "rec", "ppocr_keys_v1.txt")
+        )
+        self.random_weights: Dict[str, bool] = {}
+        self._load_params()
+        self._build_steps()
+
+    # -- weights ----------------------------------------------------------
+
+    def _load_one(self, name: str, convert_fn):
+        prog = load_program(
+            os.path.join(self.model_dir, name, "inference.pdmodel")
+        )
+        params_path = os.path.join(self.model_dir, name, "inference.pdiparams")
+        if os.path.exists(params_path):
+            raw = load_params(prog, params_path)
+            self.random_weights[name] = False
+        else:
+            # det/rec .pdiparams are not bundled with the reference
+            # (SURVEY.md §2.2) — deterministic stand-ins keep the full
+            # pipeline exercisable until converted weights are dropped in.
+            raw = init_random_params(prog, seed=0)
+            self.random_weights[name] = True
+        params = convert_fn(prog, raw)
+        if self.dtype == jnp.bfloat16:
+            params = cast_tree(params, jnp.bfloat16)
+        return jax.device_put(params, self.device)
+
+    def _load_params(self):
+        self.det_params = self._load_one("det", convert_det_params)
+        self.cls_params = (
+            self._load_one("cls", convert_cls_params)
+            if self.config.enable_cls
+            else None
+        )
+        self.rec_params = self._load_one("rec", convert_rec_params)
+
+    # -- jitted steps ------------------------------------------------------
+
+    def _build_steps(self):
+        dtype = self.dtype
+
+        @jax.jit
+        def det_step(params, img_u8):
+            x = _nhwc_normalize(img_u8, IMAGENET_MEAN, IMAGENET_SCALE)
+            prob = det_forward(params, x.astype(dtype))
+            return prob.astype(jnp.float32)
+
+        @jax.jit
+        def cls_step(params, imgs_u8, widths):
+            x = _nhwc_normalize(imgs_u8, HALF_MEAN, HALF_SCALE)
+            col = jnp.arange(imgs_u8.shape[2], dtype=jnp.int32)
+            mask = (col[None, :] < widths[:, None]).astype(x.dtype)
+            x = x * mask[:, None, :, None]
+            probs = cls_forward(params, x.astype(dtype))
+            return jnp.argmax(probs, -1).astype(jnp.int32), jnp.max(probs, -1)
+
+        @jax.jit
+        def rec_step(params, imgs_u8):
+            x = _nhwc_normalize(imgs_u8, HALF_MEAN, HALF_SCALE)
+            probs = rec_forward(params, x.astype(dtype))
+            return ctc_topk_device(probs)
+
+        self._det_step = det_step
+        self._cls_step = cls_step
+        self._rec_step = rec_step
+
+    # -- public stage APIs (reference: DBDetector/Classifier/CRNNRecognizer
+    #    ::Run — same [pre, infer, post] times contract) -------------------
+
+    def detect(
+        self, image_bgr: np.ndarray
+    ) -> Tuple[List[np.ndarray], StageTimes]:
+        """Full DB detection → quad boxes in source coordinates
+        (DBDetector::Run behavior, ocr_det.cpp:93-176)."""
+        times = StageTimes()
+        t0 = time.perf_counter()
+        resized, ratio_h, ratio_w = det_resize(
+            image_bgr, self.config.det.limit_type, self.config.det.limit_side_len
+        )
+        img = np.ascontiguousarray(resized[None])  # [1,H,W,3] uint8
+        t1 = time.perf_counter()
+        prob = np.asarray(self._det_step(self.det_params, img)[0])
+        t2 = time.perf_counter()
+        boxes = self.post(
+            prob, image_bgr.shape[0], image_bgr.shape[1], ratio_h, ratio_w
+        )
+        t3 = time.perf_counter()
+        times.preprocess_ms = (t1 - t0) * 1e3
+        times.inference_ms = (t2 - t1) * 1e3
+        times.postprocess_ms = (t3 - t2) * 1e3
+        return boxes, times
+
+    def classify(
+        self, crops: Sequence[np.ndarray]
+    ) -> Tuple[List[int], List[float], StageTimes]:
+        """Batch orientation classification (Classifier::Run,
+        ocr_cls.cpp:23-106): labels ∈ {0,1} + max softmax scores."""
+        times = StageTimes()
+        cfg = self.config.cls
+        _, img_h, img_w = cfg.image_shape
+        labels: List[int] = [0] * len(crops)
+        scores: List[float] = [0.0] * len(crops)
+        buckets = batch_buckets(cfg.batch_num)
+        for beg in range(0, len(crops), cfg.batch_num):
+            chunk = crops[beg : beg + cfg.batch_num]
+            t0 = time.perf_counter()
+            resized = [cls_resize(c, cfg.image_shape) for c in chunk]
+            widths = [r.shape[1] for r in resized]
+            n = pick_bucket(buckets, len(chunk))
+            batch = np.zeros((n, img_h, img_w, 3), np.uint8)
+            for i, r in enumerate(resized):
+                batch[i, :, : r.shape[1]] = r
+            w_arr = np.zeros((n,), np.int32)
+            w_arr[: len(widths)] = widths
+            t1 = time.perf_counter()
+            lab, sc = self._cls_step(self.cls_params, batch, w_arr)
+            lab, sc = np.asarray(lab), np.asarray(sc)
+            t2 = time.perf_counter()
+            for i in range(len(chunk)):
+                labels[beg + i] = int(lab[i])
+                scores[beg + i] = float(sc[i])
+            times.preprocess_ms += (t1 - t0) * 1e3
+            times.inference_ms += (t2 - t1) * 1e3
+        return labels, scores, times
+
+    def recognize(
+        self, crops: Sequence[np.ndarray]
+    ) -> Tuple[List[str], List[float], StageTimes]:
+        """Batched CTC recognition (CRNNRecognizer::Run, ocr_rec.cpp:24-135):
+        aspect-sorted micro-batches, width-bucketed static shapes, greedy
+        decode with the reference's keep/NaN rules. Crops that decode to
+        nothing keep text "" / score 0 (the reference leaves the slot
+        untouched on NaN)."""
+        times = StageTimes()
+        cfg = self.config.rec
+        n_img = len(crops)
+        texts = [""] * n_img
+        confs = [0.0] * n_img
+        ratios = [c.shape[1] / c.shape[0] for c in crops]
+        indices = np.argsort(ratios, kind="stable")
+        bbuckets = batch_buckets(cfg.batch_num)
+
+        for beg in range(0, n_img, cfg.batch_num):
+            idx = indices[beg : beg + cfg.batch_num]
+            t0 = time.perf_counter()
+            max_ratio = max([cfg.img_w / cfg.img_h] + [ratios[i] for i in idx])
+            needed_w = int(cfg.img_h * max_ratio)
+            width = pick_bucket(cfg.width_buckets, needed_w)
+            resized = [
+                crnn_resize(crops[i], width / cfg.img_h, (3, cfg.img_h, width))
+                for i in idx
+            ]
+            nb = pick_bucket(bbuckets, len(idx))
+            batch = pack_batch(resized, width)
+            if nb > len(idx):
+                batch = np.concatenate(
+                    [batch, np.zeros((nb - len(idx),) + batch.shape[1:], np.uint8)]
+                )
+            t1 = time.perf_counter()
+            top_idx, top_prob = self._rec_step(self.rec_params, batch)
+            top_idx = np.asarray(top_idx)[: len(idx)]
+            top_prob = np.asarray(top_prob)[: len(idx)]
+            t2 = time.perf_counter()
+            kept, conf = ctc_greedy_collapse(top_idx, top_prob)
+            for j, i in enumerate(idx):
+                if np.isnan(conf[j]):
+                    continue  # reference skips NaN results (ocr_rec.cpp:123)
+                texts[i] = "".join(self.charset[k] for k in kept[j])
+                confs[i] = float(conf[j])
+            t3 = time.perf_counter()
+            times.preprocess_ms += (t1 - t0) * 1e3
+            times.inference_ms += (t2 - t1) * 1e3
+            times.postprocess_ms += (t3 - t2) * 1e3
+        return texts, confs, times
+
+    # -- warmup ------------------------------------------------------------
+
+    def warmup(self, det_shapes: Sequence[Tuple[int, int]] = ()) -> float:
+        """Pre-compile the bucketed step variants (the reference's analog is
+        TensorRT shape-cache files, ocr_det.cpp:58-62). Returns seconds."""
+        t0 = time.time()
+        for h, w in det_shapes or [(192, 384)]:
+            np.asarray(self._det_step(self.det_params, np.zeros((1, h, w, 3), np.uint8)))
+        bb = batch_buckets(self.config.rec.batch_num)
+        for n in bb:
+            for w in self.config.rec.width_buckets:
+                np.asarray(
+                    self._rec_step(
+                        self.rec_params,
+                        np.zeros((n, self.config.rec.img_h, w, 3), np.uint8),
+                    )[0]
+                )
+        if self.cls_params is not None:
+            _, h, w = self.config.cls.image_shape
+            for n in batch_buckets(self.config.cls.batch_num):
+                np.asarray(
+                    self._cls_step(
+                        self.cls_params,
+                        np.zeros((n, h, w, 3), np.uint8),
+                        np.zeros((n,), np.int32),
+                    )[0]
+                )
+        return time.time() - t0

@@ -21,9 +21,19 @@ REPO_ROOT = pathlib.Path(__file__).resolve().parent.parent
 if str(REPO_ROOT) not in sys.path:
     sys.path.insert(0, str(REPO_ROOT))
 
+# reuse compiled executables across test runs (XLA CPU compiles the det
+# graph slowly at large shapes; see ppocr_tpu.utils.xla_cache)
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", str(REPO_ROOT / ".jax_cache")
+)
+
 REFERENCE_ROOT = pathlib.Path("/root/reference")
 
 import pytest  # noqa: E402
+
+from ppocr_tpu.utils import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()
 
 
 @pytest.fixture(scope="session")

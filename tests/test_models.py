@@ -42,7 +42,7 @@ def rng():
 def test_det_parity_random_weights(reference_models, rng):
     prog = load_program(str(reference_models / "det" / "inference.pdmodel"))
     pp = init_random_params(prog, seed=7)
-    x = rng.normal(0, 1, (2, 64, 96, 3)).astype(np.float32)
+    x = rng.normal(0, 1, (1, 32, 64, 3)).astype(np.float32)
 
     ref = jax.jit(build_forward(prog))(pp, {"x": _nchw(x)})["sigmoid_0.tmp_0"]
     ours = jax.jit(det_forward)(convert_det_params(prog, pp), jnp.asarray(x))
