@@ -1,0 +1,112 @@
+"""ocr-service: start the OCR IPC service.
+
+Flag-compatible with the reference service CLI (ocr_service_main.cpp:89-110
+— defaults ./models, pipe ocr_service, gpu-workers 0, cpu-workers 1), plus
+TPU-era extras (--profile, --dtype, --no-warmup). Ctrl-C stops the service
+cleanly (the reference's ConsoleHandler); a status line is printed every
+30 s like the reference's status loop (ocr_service_main.cpp:134-148).
+
+Usage:
+    python -m ppocr_tpu.cli.service_main --model-dir ./models \
+        --socket /tmp/ocr_service.sock --cpu-workers 4
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import json
+import signal
+import sys
+
+from .common import resolve_socket_path
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="ocr-service", description="TPU-native PP-OCR IPC service"
+    )
+    p.add_argument("--model-dir", default="./models", help="model directory (det/ cls/ rec/)")
+    p.add_argument(
+        "--socket",
+        "--pipe-name",
+        dest="socket",
+        default="/tmp/ocr_service.sock",
+        help=r"unix socket path (reference pipe names \\.\pipe\NAME are mapped to /tmp/NAME.sock)",
+    )
+    p.add_argument("--gpu-workers", type=int, default=0, help="accepted for flag parity; >0 selects the device pool")
+    p.add_argument("--cpu-workers", type=int, default=1, help="number of logical workers")
+    p.add_argument("--profile", choices=["serving", "defaults"], default="serving")
+    p.add_argument("--dtype", choices=["bfloat16", "float32"], default="bfloat16")
+    p.add_argument("--no-cls", action="store_true", help="disable orientation classification")
+    p.add_argument("--no-warmup", action="store_true", help="skip bucket pre-compilation")
+    p.add_argument("--status-interval", type=float, default=30.0)
+    return p
+
+
+async def _amain(args) -> int:
+    from ..pipeline import PipelineConfig
+    from ..serve import OCRIPCService
+
+    config = (
+        PipelineConfig.serving()
+        if args.profile == "serving"
+        else PipelineConfig.defaults()
+    )
+    config.dtype = args.dtype
+    if args.no_cls:
+        config.enable_cls = False
+
+    print(f"Loading models from {args.model_dir} ...", flush=True)
+    service = OCRIPCService(
+        model_dir=args.model_dir,
+        socket_path=resolve_socket_path(args.socket),
+        cpu_workers=args.cpu_workers,
+        gpu_workers=args.gpu_workers,
+        config=config,
+    )
+    for name, is_random in service.engine.random_weights.items():
+        if is_random:
+            print(
+                f"WARNING: {name} weights not found (inference.pdiparams); "
+                "using deterministic stand-in weights",
+                flush=True,
+            )
+    if not args.no_warmup:
+        secs = service.engine.warmup()
+        print(f"Warmup compiled all shape buckets in {secs:.1f}s", flush=True)
+
+    await service.start_async()
+    print(
+        f"OCR service listening on {service.socket_path} "
+        f"({service.num_workers} workers)",
+        flush=True,
+    )
+
+    loop = asyncio.get_running_loop()
+    for sig in (signal.SIGINT, signal.SIGTERM):
+        loop.add_signal_handler(sig, lambda: asyncio.ensure_future(service.stop_async()))
+
+    async def status_loop():
+        while service.running:
+            await asyncio.sleep(args.status_interval)
+            if service.running:
+                print(f"[status] {service.get_status_info()}", flush=True)
+
+    status_task = asyncio.get_running_loop().create_task(status_loop())
+    await service._stopped.wait()
+    status_task.cancel()
+    print("Service stopped.", flush=True)
+    return 0
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    try:
+        return asyncio.run(_amain(args))
+    except KeyboardInterrupt:
+        return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -21,6 +21,13 @@ class DetConfig:
     unclip_ratio: float = 2.0
     score_mode: str = "slow"
     use_dilation: bool = False
+    # Closed compilation-shape set: the resized /32 image is zero-padded up
+    # to the next (H, W) bucket pair and the prob map cropped back. Keeps
+    # the det jit variant set finite so every shape can be pre-compiled on
+    # the main thread (the TPU plugin only compiles there) — the serving
+    # analog of the reference's TensorRT dynamic-shape cache.
+    pad_to_buckets: bool = True
+    shape_buckets: Tuple[int, ...] = (192, 384, 512, 672, 960)
 
 
 @dataclass
@@ -71,6 +78,7 @@ class PipelineConfig:
                 unclip_ratio=1.8,
                 score_mode="fast",
                 use_dilation=False,
+                shape_buckets=(128, 192, 256, 384, 512),
             ),
             cls=ClsConfig(thresh=0.98, batch_num=8),
             rec=RecConfig(

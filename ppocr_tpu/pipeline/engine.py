@@ -176,9 +176,22 @@ class OCREngine:
         resized, ratio_h, ratio_w = det_resize(
             image_bgr, self.config.det.limit_type, self.config.det.limit_side_len
         )
-        img = np.ascontiguousarray(resized[None])  # [1,H,W,3] uint8
+        rh, rw = resized.shape[:2]
+        buckets = self.config.det.shape_buckets
+        if (
+            self.config.det.pad_to_buckets
+            and rh <= buckets[-1]
+            and rw <= buckets[-1]
+        ):
+            # zero-pad up to the closed (H, W) bucket pair; the prob map is
+            # cropped back below so postprocess sees the exact resize shape
+            bh, bw = pick_bucket(buckets, rh), pick_bucket(buckets, rw)
+            img = np.zeros((1, bh, bw, 3), np.uint8)
+            img[0, :rh, :rw] = resized
+        else:
+            img = np.ascontiguousarray(resized[None])  # [1,H,W,3] uint8
         t1 = time.perf_counter()
-        prob = np.asarray(self._det_step(self.det_params, img)[0])
+        prob = np.asarray(self._det_step(self.det_params, img)[0])[:rh, :rw]
         t2 = time.perf_counter()
         boxes = self.post(
             prob, image_bgr.shape[0], image_bgr.shape[1], ratio_h, ratio_w
@@ -275,10 +288,25 @@ class OCREngine:
     # -- warmup ------------------------------------------------------------
 
     def warmup(self, det_shapes: Sequence[Tuple[int, int]] = ()) -> float:
-        """Pre-compile the bucketed step variants (the reference's analog is
-        TensorRT shape-cache files, ocr_det.cpp:58-62). Returns seconds."""
+        """Pre-compile every bucketed step variant (the reference's analog
+        is TensorRT shape-cache files, ocr_det.cpp:58-62). Returns seconds.
+
+        MUST run on the main thread before any worker thread touches the
+        engine: the TPU plugin deadlocks on compilation from non-main
+        threads, so serving relies on every shape in the closed bucket sets
+        being compiled here (executing cached shapes from threads is fine).
+        """
         t0 = time.time()
-        for h, w in det_shapes or [(192, 384)]:
+        if not det_shapes:
+            if self.config.det.pad_to_buckets:
+                det_shapes = [
+                    (h, w)
+                    for h in self.config.det.shape_buckets
+                    for w in self.config.det.shape_buckets
+                ]
+            else:
+                det_shapes = [(192, 384)]
+        for h, w in det_shapes:
             np.asarray(self._det_step(self.det_params, np.zeros((1, h, w, 3), np.uint8)))
         bb = batch_buckets(self.config.rec.batch_num)
         for n in bb:

@@ -1,0 +1,257 @@
+"""Unix-socket JSON IPC service.
+
+Protocol mirror of OCRIPCService (ocr_ipc_service.cpp:310-448), with the
+Windows named pipe replaced by a Unix domain socket (SURVEY.md §2.3 calls
+the pipe "Windows-only plumbing, not a capability"):
+
+  request  {"command": "recognize", "image_path": …}           → worker JSON
+           {"command": "recognize", "image_data": <base64>}    → worker JSON
+           {"command": "status"}    → {"success": true, "status": "<json>"}
+           {"command": "shutdown"}  → reply, then stop after ≤200 ms drain
+  errors   {"success": false, "error": …}  (same messages as the reference)
+
+Framing: newline-delimited compact JSON in both directions (the message-
+type pipe framed for the reference; a stream socket needs explicit
+framing). The 1 MB inbound guard and its exact error text are preserved;
+the reference's 64 KB response cap is NOT (it silently truncates large
+word lists — a flaw, not a capability).
+
+Counters: total_requests / successful_requests / average_processing_time_ms
+are all real here — the reference declares but never increments the latter
+two (latent bug, ocr_ipc_service.h:91-93; SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import base64
+import binascii
+import json
+import os
+import threading
+import time
+from typing import Optional
+
+import cv2
+import numpy as np
+
+from ..pipeline import OCREngine, PipelineConfig
+from .executor import Dispatcher
+
+MAX_MESSAGE_BYTES = 1048576  # reference PIPE_INPUT_BUFFER_SIZE (1 MB)
+SHUTDOWN_DRAIN_MS = 200
+
+TOO_LARGE_ERROR = (
+    "Data too large for buffer (max 1MB). Consider using file path transmission."
+)
+
+
+def _compact(obj: dict) -> bytes:
+    return (json.dumps(obj, ensure_ascii=False, separators=(",", ":")) + "\n").encode(
+        "utf-8"
+    )
+
+
+def decode_base64_image(data: str) -> Optional[np.ndarray]:
+    """base64 → cv::imdecode equivalent (ocr_ipc_service.cpp:16-43)."""
+    try:
+        raw = base64.b64decode(data, validate=True)
+    except (binascii.Error, ValueError):
+        return None
+    buf = np.frombuffer(raw, np.uint8)
+    return cv2.imdecode(buf, cv2.IMREAD_COLOR)
+
+
+class OCRIPCService:
+    """Serves the OCR pipeline over a Unix socket."""
+
+    def __init__(
+        self,
+        model_dir: str,
+        socket_path: str = "/tmp/ocr_service.sock",
+        cpu_workers: int = 1,
+        gpu_workers: int = 0,
+        config: Optional[PipelineConfig] = None,
+        engine: Optional[OCREngine] = None,
+    ):
+        # the reference instantiates exactly one pool: gpu if gpu_workers>0
+        # else cpu (ocr_ipc_service.cpp:58-66); here both map to logical
+        # workers over the single device engine
+        self.socket_path = socket_path
+        self.num_workers = gpu_workers if gpu_workers > 0 else cpu_workers
+        self.engine = engine or OCREngine(model_dir, config)
+        self.dispatcher = Dispatcher(self.engine, self.num_workers)
+
+        self.running = False
+        self.request_counter = 0
+        self.total_requests = 0
+        self.successful_requests = 0
+        self.total_processing_time = 0.0
+        self._server: Optional[asyncio.AbstractServer] = None
+        self._loop: Optional[asyncio.AbstractEventLoop] = None
+        self._active_clients = 0
+        self._stopped = asyncio.Event()
+
+    # -- status ------------------------------------------------------------
+
+    def get_status_info(self) -> str:
+        """JSON string, embedded verbatim under the response's "status"
+        key — matching the reference's string-in-string encoding
+        (ocr_ipc_service.cpp:372, 438-448)."""
+        avg = (
+            self.total_processing_time / self.total_requests
+            if self.total_requests > 0
+            else 0.0
+        )
+        return json.dumps(
+            {
+                "running": self.running,
+                "total_requests": self.total_requests,
+                "successful_requests": self.successful_requests,
+                "average_processing_time_ms": avg,
+            },
+            separators=(",", ":"),
+        )
+
+    # -- request processing --------------------------------------------------
+
+    async def process_request(self, line: bytes) -> dict:
+        try:
+            try:
+                request = json.loads(line.decode("utf-8"))
+            except (UnicodeDecodeError, json.JSONDecodeError) as e:
+                return {"success": False, "error": f"Invalid JSON: {e}"}
+
+            command = request.get("command", "")
+            if command == "recognize":
+                image = None
+                error_msg = ""
+                image_path = request.get("image_path", "")
+                image_b64 = request.get("image_data", "")
+                if image_path:
+                    image = cv2.imread(image_path)
+                    if image is None:
+                        error_msg = f"Failed to load image from path: {image_path}"
+                elif image_b64:
+                    image = decode_base64_image(image_b64)
+                    if image is None:
+                        error_msg = "Failed to decode base64 image data"
+                else:
+                    error_msg = "Missing image_path or image_data"
+                if error_msg:
+                    return {"success": False, "error": error_msg}
+
+                self.request_counter += 1
+                request_id = self.request_counter
+                self.total_requests += 1
+                result = await self.dispatcher.submit(image, request_id)
+                if result.get("success"):
+                    self.successful_requests += 1
+                    self.total_processing_time += result.get(
+                        "processing_time_ms", 0.0
+                    )
+                return result
+
+            if command == "status":
+                return {"success": True, "status": self.get_status_info()}
+
+            if command == "shutdown":
+                asyncio.get_running_loop().create_task(self._delayed_stop())
+                return {
+                    "success": True,
+                    "message": "Shutdown command received, stopping service...",
+                }
+
+            return {"success": False, "error": f"Unknown command: {command}"}
+        except Exception as e:  # mirror the catch-all (ocr_ipc_service.cpp:417-423)
+            return {"success": False, "error": str(e)}
+
+    async def _delayed_stop(self):
+        """Reply-then-stop with ≤200 ms drain (ocr_ipc_service.cpp:385-404)."""
+        for _ in range(20):
+            await asyncio.sleep(0.01)
+            if self._active_clients == 0:
+                break
+        await self.stop_async()
+
+    # -- connection handling -------------------------------------------------
+
+    async def _handle_client(self, reader: asyncio.StreamReader, writer):
+        self._active_clients += 1
+        try:
+            while self.running:
+                try:
+                    line = await reader.readline()
+                except (asyncio.LimitOverrunError, ValueError):
+                    writer.write(_compact({"success": False, "error": TOO_LARGE_ERROR}))
+                    await writer.drain()
+                    break
+                if not line:
+                    break
+                if len(line) > MAX_MESSAGE_BYTES:
+                    writer.write(_compact({"success": False, "error": TOO_LARGE_ERROR}))
+                    await writer.drain()
+                    continue
+                response = await self.process_request(line.rstrip(b"\n"))
+                writer.write(_compact(response))
+                await writer.drain()
+                if (
+                    response.get("message", "").startswith("Shutdown command")
+                    and response.get("success") is True
+                ):
+                    break  # close after shutdown reply (ocr_ipc_service.cpp:272-275)
+        except (ConnectionResetError, BrokenPipeError):
+            pass  # broken-pipe isolation per connection
+        finally:
+            self._active_clients -= 1
+            try:
+                writer.close()
+                await writer.wait_closed()
+            except Exception:
+                pass
+
+    # -- lifecycle -------------------------------------------------------------
+
+    async def start_async(self):
+        if os.path.exists(self.socket_path):
+            os.unlink(self.socket_path)
+        self._loop = asyncio.get_running_loop()
+        self._stopped = asyncio.Event()
+        self._server = await asyncio.start_unix_server(
+            self._handle_client,
+            path=self.socket_path,
+            limit=MAX_MESSAGE_BYTES + 65536,
+        )
+        self.running = True
+
+    async def stop_async(self):
+        if not self.running:
+            return
+        self.running = False
+        if self._server is not None:
+            self._server.close()
+            await self._server.wait_closed()
+        self.dispatcher.shutdown()
+        if os.path.exists(self.socket_path):
+            try:
+                os.unlink(self.socket_path)
+            except OSError:
+                pass
+        self._stopped.set()
+
+    async def serve_forever(self):
+        await self.start_async()
+        await self._stopped.wait()
+
+    # -- sync wrappers (service_main-style usage) -----------------------------
+
+    def run_blocking(self, ready_event: Optional[threading.Event] = None):
+        """Run the service on a private event loop until shutdown."""
+
+        async def _main():
+            await self.start_async()
+            if ready_event is not None:
+                ready_event.set()
+            await self._stopped.wait()
+
+        asyncio.run(_main())

@@ -7,12 +7,16 @@ is attached during development (SURVEY.md §4).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# Force the hermetic CPU backend with 8 virtual devices. NOTE: this
+# environment exports JAX_PLATFORMS=axon globally and the env var is NOT
+# honored once the plugin registers, so jax.config is the only reliable
+# switch — set it before anything touches a backend.
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import pathlib
 import sys

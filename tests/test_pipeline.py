@@ -37,6 +37,9 @@ def small_config(**kw):
             box_thresh=0.4,
             unclip_ratio=1.8,
             score_mode="fast",
+            # no 32-bucket: XLA CPU compiles the degenerate 1×1-deep-feature
+            # det graph pathologically slowly (~8 min vs 2 s at 96×96)
+            shape_buckets=(64, 96),
         ),
         cls=ClsConfig(batch_num=4),
         rec=RecConfig(batch_num=4, img_h=28, img_w=192, width_buckets=(192,)),
