@@ -1,0 +1,85 @@
+"""Benchmark: end-to-end OCR latency on the bundled card image.
+
+Measures the BASELINE.json headline config — the full det→(cls)→rec
+pipeline on images/card-jd.jpg with the reference's serving profile — on
+whatever accelerator JAX sees (the driver runs this on the real TPU chip).
+
+Prints ONE JSON line:
+    {"metric": "e2e_ms_per_image_p50", "value": <ms>, "unit": "ms",
+     "vs_baseline": <reference_100ms / value>}
+
+vs_baseline > 1 means faster than the reference's "100 ms-class" headline
+claim (README.md:2 of the reference; BASELINE.md).
+"""
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REFERENCE_BASELINE_MS = 100.0  # "100ms级" headline, reference README.md:2
+MODEL_DIR = os.environ.get("PPOCR_MODEL_DIR", "/root/reference/models")
+CARD = os.environ.get(
+    "PPOCR_BENCH_IMAGE", "/root/reference/images/card-jd.jpg"
+)
+ITERS = int(os.environ.get("PPOCR_BENCH_ITERS", "50"))
+
+
+def main() -> int:
+    import cv2
+
+    from ppocr_tpu.pipeline import OCREngine, OCRWorker, PipelineConfig
+    from ppocr_tpu.utils import enable_persistent_cache
+
+    enable_persistent_cache()
+    config = PipelineConfig.serving()  # det 512/0.2/0.4/1.8/fast, rec 28px
+    engine = OCREngine(MODEL_DIR, config)
+    worker = OCRWorker(engine, worker_id=0)
+    image = cv2.imread(CARD)
+    if image is None:
+        print(json.dumps({"error": f"cannot read {CARD}"}))
+        return 1
+
+    # warm the exact shapes this workload touches (main thread → lazy
+    # compiles are safe; persistent cache makes repeat runs fast)
+    for _ in range(3):
+        r = worker.process(image, request_id=0)
+        if not r.get("success"):
+            print(json.dumps({"error": r.get("error", "pipeline failed")}))
+            return 1
+
+    samples = []
+    for i in range(ITERS):
+        t0 = time.perf_counter()
+        r = worker.process(image, request_id=i + 1)
+        samples.append((time.perf_counter() - t0) * 1e3)
+        assert r["success"], r
+
+    samples.sort()
+    p50 = statistics.median(samples)
+    p99 = samples[min(len(samples) - 1, int(len(samples) * 0.99))]
+    result = {
+        "metric": "e2e_ms_per_image_p50",
+        "value": round(p50, 3),
+        "unit": "ms",
+        "vs_baseline": round(REFERENCE_BASELINE_MS / p50, 3),
+        "extra": {
+            "p99_ms": round(p99, 3),
+            "iters": ITERS,
+            "image": os.path.basename(CARD),
+            "profile": "serving(det512 fast, rec 28x192, cls off)",
+            "device": str(__import__("jax").devices()[0]),
+            "stand_in_weights": [
+                k for k, v in engine.random_weights.items() if v
+            ],
+        },
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -38,7 +38,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cpu-workers", type=int, default=1, help="number of logical workers")
     p.add_argument("--profile", choices=["serving", "defaults"], default="serving")
     p.add_argument("--dtype", choices=["bfloat16", "float32"], default="bfloat16")
-    p.add_argument("--no-cls", action="store_true", help="disable orientation classification")
+    p.add_argument(
+        "--cls",
+        action="store_true",
+        help="enable orientation classification (off by default, like the reference)",
+    )
     p.add_argument("--no-warmup", action="store_true", help="skip bucket pre-compilation")
     p.add_argument("--status-interval", type=float, default=30.0)
     return p
@@ -54,8 +58,7 @@ async def _amain(args) -> int:
         else PipelineConfig.defaults()
     )
     config.dtype = args.dtype
-    if args.no_cls:
-        config.enable_cls = False
+    config.enable_cls = bool(args.cls)
 
     print(f"Loading models from {args.model_dir} ...", flush=True)
     service = OCRIPCService(

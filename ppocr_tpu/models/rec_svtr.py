@@ -103,9 +103,10 @@ def svtr_block(p: Dict, x: jnp.ndarray) -> jnp.ndarray:
     return x + y
 
 
-def rec_neck_head(params: Dict, feat: jnp.ndarray) -> jnp.ndarray:
+def rec_neck_head_logits(params: Dict, feat: jnp.ndarray) -> jnp.ndarray:
     """avg-pool to 1×T, SVTR encoder branch, concat with pooled features,
-    project to the charset (the exported 'ctc_encoder' + student CTC head)."""
+    project to the charset (the exported 'ctc_encoder' + student CTC head).
+    Returns pre-softmax logits (training wants these; serving softmaxes)."""
     n, hh, ww, c = feat.shape
     # avg pool k=(3,2) s=(3,2): height → 1, width halves → T = W/8.
     # Feature height is 3 for 48-px crops and 2 for the serving profile's
@@ -128,14 +129,23 @@ def rec_neck_head(params: Dict, feat: jnp.ndarray) -> jnp.ndarray:
     z = _conv_bn_swish(z, params["conv4"], kw=3)  # 960→60
     z = _conv_bn_swish(z, params["conv1x1"], kw=1)  # 60→120
     z = z.reshape(n, t, REC_DIM)
-    logits = linear(z, params["fc"]).astype(jnp.float32)
-    return jax.nn.softmax(logits, axis=-1)
+    return linear(z, params["fc"]).astype(jnp.float32)
+
+
+def rec_neck_head(params: Dict, feat: jnp.ndarray) -> jnp.ndarray:
+    return jax.nn.softmax(rec_neck_head_logits(params, feat), axis=-1)
 
 
 def rec_forward(params: Dict, x: jnp.ndarray) -> jnp.ndarray:
     """[N,48,W,3] normalized → [N, W//8, 6625] probabilities."""
     feat = rec_backbone(params["backbone"], x)
     return rec_neck_head(params["head"], feat)
+
+
+def rec_forward_logits(params: Dict, x: jnp.ndarray) -> jnp.ndarray:
+    """Training-path forward: [N,48,W,3] → [N, W//8, 6625] logits."""
+    feat = rec_backbone(params["backbone"], x)
+    return rec_neck_head_logits(params["head"], feat)
 
 
 # ---------------------------------------------------------------------------

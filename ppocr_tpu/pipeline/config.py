@@ -52,7 +52,9 @@ class PipelineConfig:
     det: DetConfig = field(default_factory=DetConfig)
     cls: ClsConfig = field(default_factory=ClsConfig)
     rec: RecConfig = field(default_factory=RecConfig)
-    enable_cls: bool = True
+    # the reference worker defaults to no orientation classification
+    # (ocr_worker.h:57: enable_cls = false)
+    enable_cls: bool = False
     # crop mode: "bounding" = axis-aligned cv::boundingRect (the worker's
     # actual behavior, ocr_worker.cpp:245-259); "perspective" = the unused
     # GetRotateCropImage path kept as an option (utility.cpp:137-190)

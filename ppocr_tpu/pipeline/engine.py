@@ -225,8 +225,9 @@ class OCREngine:
             w_arr = np.zeros((n,), np.int32)
             w_arr[: len(widths)] = widths
             t1 = time.perf_counter()
-            lab, sc = self._cls_step(self.cls_params, batch, w_arr)
-            lab, sc = np.asarray(lab), np.asarray(sc)
+            lab, sc = jax.device_get(
+                self._cls_step(self.cls_params, batch, w_arr)
+            )  # single fetch for both outputs — tunnel roundtrips are ~30 ms
             t2 = time.perf_counter()
             for i in range(len(chunk)):
                 labels[beg + i] = int(lab[i])
@@ -269,9 +270,11 @@ class OCREngine:
                     [batch, np.zeros((nb - len(idx),) + batch.shape[1:], np.uint8)]
                 )
             t1 = time.perf_counter()
-            top_idx, top_prob = self._rec_step(self.rec_params, batch)
-            top_idx = np.asarray(top_idx)[: len(idx)]
-            top_prob = np.asarray(top_prob)[: len(idx)]
+            top_idx, top_prob = jax.device_get(
+                self._rec_step(self.rec_params, batch)
+            )  # single fetch for both outputs
+            top_idx = top_idx[: len(idx)]
+            top_prob = top_prob[: len(idx)]
             t2 = time.perf_counter()
             kept, conf = ctc_greedy_collapse(top_idx, top_prob)
             for j, i in enumerate(idx):

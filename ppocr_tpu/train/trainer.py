@@ -1,0 +1,101 @@
+"""CTC training step for the recognizer, sharded over a device mesh.
+
+Data parallel over the "data" axis (batch sharded; XLA all-reduces grads
+over ICI) + tensor parallel over "model" for the 6,625-way CTC projection
+(the recognizer's only weight matrix worth sharding). Loss is optax's CTC
+(log-semiring forward algorithm).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.rec_svtr import REC_NUM_CLASSES, rec_forward_logits
+
+
+class TrainState(NamedTuple):
+    params: dict
+    opt_state: optax.OptState
+    step: jnp.ndarray
+
+
+def ctc_train_loss(params, batch):
+    """Mean CTC loss over a batch dict {images, labels, label_paddings}."""
+    logprobs = jax.nn.log_softmax(
+        rec_forward_logits(params, batch["images"]), axis=-1
+    )
+    logit_paddings = jnp.zeros(logprobs.shape[:2], jnp.float32)
+    per_seq = optax.ctc_loss(
+        logprobs, logit_paddings, batch["labels"], batch["label_paddings"]
+    )
+    return jnp.mean(per_seq)
+
+
+def param_shardings(mesh: Mesh, params) -> dict:
+    """Megatron-style tensor parallelism over the SVTR mixer blocks:
+    qkv/fc1 are column-parallel (output dim over "model" — 360/240 divide
+    by 8), proj/fc2 are row-parallel (input dim over "model"). The CTC
+    vocab (6,625 = 5³·53) does not divide by 2, so the projection stays
+    replicated. Everything else (convs) is small and replicated."""
+    n_model = mesh.shape["model"]
+
+    def spec(path, leaf):
+        keys = [getattr(p, "key", None) for p in path]
+        if leaf.ndim >= 1 and keys[-1] in ("w", "b"):
+            col = any(k in keys for k in ("qkv", "fc1"))
+            row = any(k in keys for k in ("proj", "fc2"))
+            if col and leaf.shape[-1] % n_model == 0:
+                if leaf.ndim == 2:
+                    return NamedSharding(mesh, P(None, "model"))
+                return NamedSharding(mesh, P("model"))
+            if row and keys[-1] == "w" and leaf.shape[0] % n_model == 0:
+                return NamedSharding(mesh, P("model", None))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(spec, params)
+
+
+def make_train_step(
+    mesh: Mesh, learning_rate: float = 1e-4
+) -> Tuple[optax.GradientTransformation, callable, callable]:
+    """Returns (optimizer, init_fn, step_fn).
+
+    ``init_fn(params)`` shards params/opt state over the mesh;
+    ``step_fn(state, batch)`` is jitted with batch sharded over "data" —
+    one optimizer step, returns (state, loss).
+    """
+    tx = optax.adamw(learning_rate)
+
+    def init_fn(params) -> TrainState:
+        p_sh = param_shardings(mesh, params)
+        params = jax.tree.map(
+            lambda leaf, s: jax.device_put(leaf, s), params, p_sh
+        )
+        opt_state = tx.init(params)
+        return TrainState(params, opt_state, jnp.zeros((), jnp.int32))
+
+    batch_sharding = {
+        "images": NamedSharding(mesh, P("data")),
+        "labels": NamedSharding(mesh, P("data")),
+        "label_paddings": NamedSharding(mesh, P("data")),
+    }
+
+    @jax.jit
+    def step_fn(state: TrainState, batch) -> Tuple[TrainState, jnp.ndarray]:
+        loss, grads = jax.value_and_grad(ctc_train_loss)(state.params, batch)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss
+
+    def run_step(state, batch):
+        batch = {
+            k: jax.device_put(v, batch_sharding[k]) for k, v in batch.items()
+        }
+        return step_fn(state, batch)
+
+    return tx, init_fn, run_step

@@ -28,7 +28,9 @@ RESPONSE_KEYS = {
 
 
 def small_config(**kw):
-    """Tiny shapes so XLA CPU compiles stay fast (see utils.xla_cache)."""
+    """Tiny shapes so XLA CPU compiles stay fast (see utils.xla_cache).
+    cls is enabled (non-default) so tests exercise the full 3-stage path."""
+    kw.setdefault("enable_cls", True)
     return PipelineConfig(
         det=DetConfig(
             limit_type="max",
