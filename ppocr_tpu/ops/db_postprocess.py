@@ -226,7 +226,11 @@ def filter_tag_det_res(
 class DBPostProcess:
     """Bundled DB postprocess with the reference's two config profiles
     (header defaults ocr_det.h:108-123 vs the serving profile
-    ocr_worker.cpp:28-33)."""
+    ocr_worker.cpp:28-33).
+
+    ``backend``: "cv2" (parity baseline), "native" (the from-scratch C++
+    core in native/dbpost.cpp via ctypes), or "auto" (native when built).
+    """
 
     thresh: float = 0.3
     box_thresh: float = 0.5
@@ -234,6 +238,7 @@ class DBPostProcess:
     score_mode: str = "slow"
     use_dilation: bool = False
     max_candidates: int = 1000
+    backend: str = "auto"
 
     def binarize_np(self, prob_map: np.ndarray) -> np.ndarray:
         """Host fallback of :func:`binarize_device` (identical output)."""
@@ -256,12 +261,29 @@ class DBPostProcess:
         → list of 4×2 int quads in source-image coordinates."""
         if bitmap is None:
             bitmap = self.binarize_np(prob_map)
-        boxes = boxes_from_bitmap(
-            prob_map,
-            bitmap,
-            self.box_thresh,
-            self.unclip_ratio,
-            self.score_mode,
-            self.max_candidates,
-        )
+        use_native = self.backend == "native"
+        if self.backend == "auto":
+            from . import native
+
+            use_native = native.available()
+        if use_native:
+            from . import native
+
+            boxes, _scores = native.boxes_from_bitmap_native(
+                prob_map,
+                bitmap,
+                self.box_thresh,
+                self.unclip_ratio,
+                self.score_mode,
+                self.max_candidates,
+            )
+        else:
+            boxes = boxes_from_bitmap(
+                prob_map,
+                bitmap,
+                self.box_thresh,
+                self.unclip_ratio,
+                self.score_mode,
+                self.max_candidates,
+            )
         return filter_tag_det_res(boxes, ratio_h, ratio_w, src_h, src_w)
