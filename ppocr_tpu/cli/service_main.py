@@ -45,6 +45,11 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--no-warmup", action="store_true", help="skip bucket pre-compilation")
     p.add_argument("--status-interval", type=float, default=30.0)
+    p.add_argument(
+        "--system-info",
+        action="store_true",
+        help="print worker sizing advice and exit (getWorkerRecommendation analog)",
+    )
     return p
 
 
@@ -105,6 +110,11 @@ async def _amain(args) -> int:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.system_info:
+        from ..pipeline import worker_recommendation
+
+        print(worker_recommendation(enable_cls=args.cls).pretty())
+        return 0
     try:
         return asyncio.run(_amain(args))
     except KeyboardInterrupt:

@@ -3,6 +3,7 @@
 from .charset import load_charset
 from .config import ClsConfig, DetConfig, PipelineConfig, RecConfig
 from .engine import OCREngine, StageTimes
+from .sysinfo import WorkerRecommendation, worker_recommendation
 from .worker import OCRWorker
 
 __all__ = [
@@ -13,5 +14,7 @@ __all__ = [
     "PipelineConfig",
     "RecConfig",
     "StageTimes",
+    "WorkerRecommendation",
     "load_charset",
+    "worker_recommendation",
 ]

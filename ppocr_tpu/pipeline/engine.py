@@ -105,21 +105,48 @@ class OCREngine:
 
     # -- weights ----------------------------------------------------------
 
-    def _load_one(self, name: str, convert_fn):
-        prog = load_program(
-            os.path.join(self.model_dir, name, "inference.pdmodel")
+    def _weight_cache_path(self, name: str, source: str) -> str:
+        import hashlib
+
+        st = os.stat(source)
+        key = hashlib.sha1(
+            f"{os.path.abspath(source)}:{st.st_mtime_ns}:{st.st_size}".encode()
+        ).hexdigest()[:16]
+        base = os.path.join(
+            os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
+            "ppocr-tpu",
+            "weights",
         )
+        os.makedirs(base, exist_ok=True)
+        return os.path.join(base, f"{name}-{key}.npz")
+
+    def _load_one(self, name: str, convert_fn):
+        """Load converted weights, preferring: explicit .npz override in the
+        model dir → npz cache of a previous convert → pdiparams convert →
+        deterministic stand-ins (det/rec .pdiparams are not bundled with
+        the reference; SURVEY.md §2.2)."""
+        from ..utils.checkpoint import load_params_npz, save_params_npz
+
+        model_path = os.path.join(self.model_dir, name, "inference.pdmodel")
         params_path = os.path.join(self.model_dir, name, "inference.pdiparams")
-        if os.path.exists(params_path):
-            raw = load_params(prog, params_path)
+        npz_override = os.path.join(self.model_dir, name, "weights.npz")
+
+        if os.path.exists(npz_override):
+            params = load_params_npz(npz_override)
+            self.random_weights[name] = False
+        elif os.path.exists(params_path):
+            cache = self._weight_cache_path(name, params_path)
+            if os.path.exists(cache):
+                params = load_params_npz(cache)
+            else:
+                prog = load_program(model_path)
+                params = convert_fn(prog, load_params(prog, params_path))
+                save_params_npz(cache, params)
             self.random_weights[name] = False
         else:
-            # det/rec .pdiparams are not bundled with the reference
-            # (SURVEY.md §2.2) — deterministic stand-ins keep the full
-            # pipeline exercisable until converted weights are dropped in.
-            raw = init_random_params(prog, seed=0)
+            prog = load_program(model_path)
+            params = convert_fn(prog, init_random_params(prog, seed=0))
             self.random_weights[name] = True
-        params = convert_fn(prog, raw)
         if self.dtype == jnp.bfloat16:
             params = cast_tree(params, jnp.bfloat16)
         return jax.device_put(params, self.device)
@@ -287,6 +314,18 @@ class OCREngine:
             times.inference_ms += (t2 - t1) * 1e3
             times.postprocess_ms += (t3 - t2) * 1e3
         return texts, confs, times
+
+    # -- tracing -----------------------------------------------------------
+
+    def profile_trace(self, logdir: str):
+        """jax.profiler trace context (SURVEY.md §5: the reference only
+        wall-clocks stages; this captures full device timelines viewable in
+        TensorBoard/Perfetto)::
+
+            with engine.profile_trace("/tmp/ocr-trace"):
+                worker.process(image, 1)
+        """
+        return jax.profiler.trace(logdir)
 
     # -- warmup ------------------------------------------------------------
 

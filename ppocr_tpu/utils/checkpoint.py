@@ -1,0 +1,85 @@
+"""Parameter checkpointing: npz weight caches + orbax train checkpoints.
+
+SURVEY.md §5: the reference's only "checkpoint" analog is the TensorRT
+shape-cache. Here:
+  * converted inference weights cache to a single .npz per model, so
+    serving restarts skip the pdmodel/pdiparams parse+convert
+    (and custom/fine-tuned weights can be dropped in the same way);
+  * training state checkpoints via orbax (step, params, opt state).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Tuple
+
+import jax
+import numpy as np
+
+
+def _flatten(tree, prefix="") -> Dict[str, np.ndarray]:
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(v, f"{prefix}{k}/"))
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            out.update(_flatten(v, f"{prefix}{i}/"))
+    else:
+        out[prefix[:-1]] = np.asarray(tree)
+    return out
+
+
+def _unflatten(flat: Dict[str, np.ndarray]):
+    root: dict = {}
+    for key, val in flat.items():
+        parts = key.split("/")
+        node = root
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = val
+
+    def fix(node):
+        if not isinstance(node, dict):
+            return node
+        keys = list(node.keys())
+        if keys and all(k.isdigit() for k in keys):
+            return [fix(node[str(i)]) for i in range(len(keys))]
+        return {k: fix(v) for k, v in node.items()}
+
+    return fix(root)
+
+
+def save_params_npz(path: str, params) -> None:
+    """Save a nested param pytree to one compressed .npz."""
+    flat = _flatten(jax.device_get(params))
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    np.savez_compressed(path, **flat)
+
+
+def load_params_npz(path: str):
+    """Load a param pytree saved by :func:`save_params_npz`."""
+    with np.load(path) as data:
+        flat = {k: data[k] for k in data.files}
+    return _unflatten(flat)
+
+
+def save_train_state(ckpt_dir: str, state, step: int | None = None) -> str:
+    """Checkpoint a TrainState with orbax; returns the checkpoint path."""
+    import orbax.checkpoint as ocp
+
+    step = int(step if step is not None else jax.device_get(state.step))
+    path = os.path.join(os.path.abspath(ckpt_dir), f"step_{step}")
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, jax.device_get(state), force=True)
+    ckptr.wait_until_finished()
+    return path
+
+
+def restore_train_state(path: str, template):
+    """Restore a TrainState saved by :func:`save_train_state`; ``template``
+    is a matching abstract/concrete state providing the tree structure."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.abspath(path), target=jax.device_get(template))
