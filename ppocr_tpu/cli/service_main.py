@@ -43,6 +43,11 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="enable orientation classification (off by default, like the reference)",
     )
+    p.add_argument(
+        "--fast-path",
+        action="store_true",
+        help="single-dispatch fused det→rec pipeline (fastest; axis-aligned boxes, no cls)",
+    )
     p.add_argument("--no-warmup", action="store_true", help="skip bucket pre-compilation")
     p.add_argument("--status-interval", type=float, default=30.0)
     p.add_argument(
@@ -64,6 +69,10 @@ async def _amain(args) -> int:
     )
     config.dtype = args.dtype
     config.enable_cls = bool(args.cls)
+    config.fast_path = bool(args.fast_path)
+    if config.fast_path and config.enable_cls:
+        print("NOTE: --fast-path ignores --cls (fused path has no cls stage)")
+        config.enable_cls = False
 
     print(f"Loading models from {args.model_dir} ...", flush=True)
     service = OCRIPCService(

@@ -55,6 +55,11 @@ class PipelineConfig:
     # the reference worker defaults to no orientation classification
     # (ocr_worker.h:57: enable_cls = false)
     enable_cls: bool = False
+    # single-dispatch fused det→rec pipeline (pipeline.fused): the whole
+    # request runs in ONE device call — fastest serving mode for upright
+    # text; axis-aligned boxes only, cls not supported. The staged parity
+    # pipeline remains the default.
+    fast_path: bool = False
     # crop mode: "bounding" = axis-aligned cv::boundingRect (the worker's
     # actual behavior, ocr_worker.cpp:245-259); "perspective" = the unused
     # GetRotateCropImage path kept as an option (utility.cpp:137-190)

@@ -315,6 +315,17 @@ class OCREngine:
             times.postprocess_ms += (t3 - t2) * 1e3
         return texts, confs, times
 
+    # -- fused single-dispatch path ------------------------------------------
+
+    def fused_ocr(self):
+        """Lazy engine-owned FusedOCR (single-dispatch det→rec pipeline,
+        pipeline.fused) so every worker shares one compiled variant set."""
+        if not hasattr(self, "_fused_ocr"):
+            from .fused import FusedOCR
+
+            self._fused_ocr = FusedOCR(self)
+        return self._fused_ocr
+
     # -- tracing -----------------------------------------------------------
 
     def profile_trace(self, logdir: str):
@@ -348,6 +359,8 @@ class OCREngine:
                 ]
             else:
                 det_shapes = [(192, 384)]
+        if self.config.fast_path:
+            self.fused_ocr().warmup()
         for h, w in det_shapes:
             np.asarray(self._det_step(self.det_params, np.zeros((1, h, w, 3), np.uint8)))
         bb = batch_buckets(self.config.rec.batch_num)

@@ -1,0 +1,336 @@
+"""Single-dispatch fused OCR: det → boxes → crops → rec in ONE jit call.
+
+The staged pipeline pays one device dispatch per stage; through a remote
+TPU link each dispatch has a fixed RTT (~33 ms on the dev tunnel), so the
+det→rec request floor is 2 RTTs regardless of compute. This module moves
+the *entire* per-request pipeline on-device:
+
+    uint8 image ─▶ DBNet ─▶ binarize ─▶ connected components (min-label
+    propagation) ─▶ per-blob bbox/score via scatters ─▶ top-K blobs ─▶
+    unclip-expand ─▶ bilinear crop+resize to rec shape ─▶ SVTR-CTC ─▶
+    per-timestep argmax/max ─▶ ONE fetch
+
+Host work shrinks to CTC collapse + JSON assembly (<0.5 ms).
+
+This is the TPU-first redesign of SURVEY.md §7's "hard part": instead of
+porting findContours/minAreaRect/Clipper to a kernel, the fast path uses
+axis-aligned blob boxes — exactly right for the reference's declared
+workload (upright UI/card text; its own worker already crops axis-aligned
+bounding rects, ocr_worker.cpp:245-259). Known deviations from the parity
+pipeline, by design:
+
+  * boxes are axis-aligned (no rotated min-area rects);
+  * score is the blob mean of the probability map (≈ "slow" mode);
+  * unclip expands the axis-aligned box by area·ratio/perimeter;
+  * rec crops resample the det-scale image (no second upload).
+
+Rotated/irregular text should use the staged parity pipeline
+(PipelineConfig(fast_path=False), the default).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..models.det_db import det_forward
+from ..models.rec_svtr import rec_forward
+from ..ops.ctc import ctc_topk_device
+from ..ops.normalize import (
+    HALF_MEAN,
+    HALF_SCALE,
+    IMAGENET_MEAN,
+    IMAGENET_SCALE,
+)
+
+
+class FusedOutputs(NamedTuple):
+    boxes: jnp.ndarray  # [K, 4] int32 (x0, y0, x1, y1) in det-image coords
+    valid: jnp.ndarray  # [K] bool
+    scores: jnp.ndarray  # [K] f32 blob-mean det score
+    ctc_idx: jnp.ndarray  # [K, T] int32
+    ctc_prob: jnp.ndarray  # [K, T] f32
+
+
+def _connected_components(fg: jnp.ndarray, max_iters: int = 256) -> jnp.ndarray:
+    """8-connected min-label propagation. fg: [H, W] bool → [H, W] int32
+    labels (= min flat index of the blob; background = H*W)."""
+    h, w = fg.shape
+    big = jnp.int32(h * w)
+    init = jnp.where(
+        fg,
+        (jnp.arange(h * w, dtype=jnp.int32)).reshape(h, w),
+        big,
+    )
+
+    def propagate(labels):
+        # min over the 3×3 neighborhood (reduce_window pads with `big`)
+        neigh = lax.reduce_window(
+            labels,
+            big,
+            lax.min,
+            window_dimensions=(3, 3),
+            window_strides=(1, 1),
+            padding=[(1, 1), (1, 1)],
+        )
+        return jnp.where(fg, jnp.minimum(labels, neigh), big)
+
+    def cond(state):
+        labels, changed, it = state
+        return jnp.logical_and(changed, it < max_iters)
+
+    def body(state):
+        labels, _, it = state
+        new = propagate(labels)
+        return new, jnp.any(new != labels), it + 1
+
+    labels, _, _ = lax.while_loop(cond, body, (init, jnp.bool_(True), 0))
+    return labels
+
+
+def _blob_stats(labels: jnp.ndarray, prob: jnp.ndarray, max_boxes: int):
+    """Per-blob area/bbox/score via scatters keyed on the root index, then
+    top-K blobs by area."""
+    h, w = labels.shape
+    n = h * w
+    flat = labels.reshape(-1)
+    ys = (jnp.arange(n, dtype=jnp.int32) // w).astype(jnp.float32)
+    xs = (jnp.arange(n, dtype=jnp.int32) % w).astype(jnp.float32)
+
+    area = jnp.zeros((n + 1,), jnp.float32).at[flat].add(1.0)
+    psum = jnp.zeros((n + 1,), jnp.float32).at[flat].add(prob.reshape(-1))
+    x0 = jnp.full((n + 1,), jnp.inf).at[flat].min(xs)
+    x1 = jnp.full((n + 1,), -jnp.inf).at[flat].max(xs)
+    y0 = jnp.full((n + 1,), jnp.inf).at[flat].min(ys)
+    y1 = jnp.full((n + 1,), -jnp.inf).at[flat].max(ys)
+    area = area.at[n].set(0.0)  # background bin
+
+    top_area, top_idx = lax.top_k(area[:n], max_boxes)
+    sel = lambda a: a[top_idx]
+    return {
+        "area": top_area,
+        "score": sel(psum) / jnp.maximum(top_area, 1.0),
+        "x0": sel(x0),
+        "x1": sel(x1),
+        "y0": sel(y0),
+        "y1": sel(y1),
+    }
+
+
+def _crop_resize_bilinear(img_f32, x0, y0, x1, y1, content_w, out_h, out_w):
+    """Sample the box region to [out_h, out_w, 3]; columns ≥ content_w are
+    black (matching rec's pad-before-normalize)."""
+    bh = y1 - y0 + 1.0
+    bw = x1 - x0 + 1.0
+    rows = (jnp.arange(out_h, dtype=jnp.float32) + 0.5) * bh / out_h - 0.5 + y0
+    cols = (
+        jnp.arange(out_w, dtype=jnp.float32) + 0.5
+    ) * bw / jnp.maximum(content_w, 1.0) - 0.5 + x0
+
+    h, w, _ = img_f32.shape
+    ry = jnp.clip(rows, 0.0, h - 1.0)
+    rx = jnp.clip(cols, 0.0, w - 1.0)
+    yf = jnp.floor(ry)
+    xf = jnp.floor(rx)
+    wy = (ry - yf)[:, None, None]
+    wx = (rx - xf)[None, :, None]
+    yi0 = yf.astype(jnp.int32)
+    xi0 = xf.astype(jnp.int32)
+    yi1 = jnp.minimum(yi0 + 1, h - 1)
+    xi1 = jnp.minimum(xi0 + 1, w - 1)
+
+    g = lambda yi, xi: img_f32[yi[:, None], xi[None, :]]
+    out = (
+        g(yi0, xi0) * (1 - wy) * (1 - wx)
+        + g(yi0, xi1) * (1 - wy) * wx
+        + g(yi1, xi0) * wy * (1 - wx)
+        + g(yi1, xi1) * wy * wx
+    )
+    col_mask = (jnp.arange(out_w) < content_w)[None, :, None]
+    return out * col_mask
+
+
+def build_fused_step(
+    det_thresh: float,
+    box_thresh: float,
+    unclip_ratio: float,
+    rec_img_h: int,
+    rec_img_w: int,
+    max_boxes: int,
+    dtype=jnp.bfloat16,
+):
+    """Returns jitted ``step(det_params, rec_params, img_u8[1,H,W,3]) ->
+    FusedOutputs`` (compiled per padded det shape)."""
+
+    @jax.jit
+    def step(det_params, rec_params, img_u8) -> FusedOutputs:
+        img = img_u8[0].astype(jnp.float32)  # [H, W, 3] 0..255
+        x = (img / 255.0 - jnp.asarray(IMAGENET_MEAN)) * jnp.asarray(
+            IMAGENET_SCALE
+        )
+        prob = det_forward(det_params, x[None].astype(dtype))[0].astype(
+            jnp.float32
+        )
+
+        # binarize exactly like the staged path (uint8 truncation, strict >)
+        fg = (prob * 255.0).astype(jnp.uint8) > jnp.uint8(int(det_thresh * 255))
+        labels = _connected_components(fg)
+        stats = _blob_stats(labels, prob, max_boxes)
+
+        bw = stats["x1"] - stats["x0"] + 1.0
+        bh = stats["y1"] - stats["y0"] + 1.0
+        ssid = jnp.maximum(bw, bh)
+        # unclip: expand by d = area_box·ratio / perimeter of the box
+        d = (bw * bh) * unclip_ratio / jnp.maximum(2.0 * (bw + bh), 1.0)
+        ex0 = stats["x0"] - d
+        ex1 = stats["x1"] + d
+        ey0 = stats["y0"] - d
+        ey1 = stats["y1"] + d
+        ebw = ex1 - ex0 + 1.0
+        ebh = ey1 - ey0 + 1.0
+
+        valid = (
+            (stats["area"] > 2)
+            & (ssid >= 3)
+            & (jnp.maximum(ebw, ebh) >= 5)
+            & (stats["score"] >= box_thresh)
+            & (ebw > 4)
+            & (ebh > 4)
+        )
+
+        h, w = prob.shape
+        cx0 = jnp.clip(ex0, 0.0, w - 1.0)
+        cx1 = jnp.clip(ex1, 0.0, w - 1.0)
+        cy0 = jnp.clip(ey0, 0.0, h - 1.0)
+        cy1 = jnp.clip(ey1, 0.0, h - 1.0)
+
+        # rec content width per crop (CrnnResizeImg semantics)
+        ar = (cx1 - cx0 + 1.0) / jnp.maximum(cy1 - cy0 + 1.0, 1.0)
+        content_w = jnp.minimum(
+            jnp.ceil(rec_img_h * ar), float(rec_img_w)
+        )
+
+        crops = jax.vmap(
+            lambda a, b, c, dd, cw: _crop_resize_bilinear(
+                img, a, b, c, dd, cw, rec_img_h, rec_img_w
+            )
+        )(cx0, cy0, cx1, cy1, content_w)
+        crops_n = (crops / 255.0 - jnp.asarray(HALF_MEAN)) * jnp.asarray(
+            HALF_SCALE
+        )
+        probs = rec_forward(rec_params, crops_n.astype(dtype))
+        idx, val = ctc_topk_device(probs)
+
+        boxes = jnp.stack(
+            [
+                jnp.round(cx0),
+                jnp.round(cy0),
+                jnp.round(cx1),
+                jnp.round(cy1),
+            ],
+            axis=1,
+        ).astype(jnp.int32)
+        return FusedOutputs(boxes, valid, stats["score"], idx, val)
+
+    return step
+
+
+class FusedOCR:
+    """Single-dispatch serving wrapper sharing an OCREngine's params."""
+
+    def __init__(self, engine, max_boxes: int = 32):
+        self.engine = engine
+        cfg = engine.config
+        self.max_boxes = max_boxes
+        self.rec_img_h = cfg.rec.img_h
+        self.rec_img_w = cfg.rec.img_w + cfg.rec.img_w  # 2× base width cap
+        self._step = build_fused_step(
+            cfg.det.thresh,
+            cfg.det.box_thresh,
+            cfg.det.unclip_ratio,
+            self.rec_img_h,
+            self.rec_img_w,
+            max_boxes,
+            dtype=engine.dtype,
+        )
+
+    def process(self, image_bgr: np.ndarray, request_id: int = 0, worker_id: int = 0) -> Dict:
+        import time
+
+        from ..ops import det_resize
+        from ..ops.ctc import ctc_greedy_collapse
+        from .config import pick_bucket
+
+        start = time.perf_counter()
+        base = {
+            "request_id": int(request_id),
+            "width": int(image_bgr.shape[1]),
+            "height": int(image_bgr.shape[0]),
+            "success": False,
+            "processing_time_ms": 0.0,
+            "worker_id": worker_id,
+        }
+        cfg = self.engine.config
+        resized, ratio_h, ratio_w = det_resize(
+            image_bgr, cfg.det.limit_type, cfg.det.limit_side_len
+        )
+        rh, rw = resized.shape[:2]
+        buckets = cfg.det.shape_buckets
+        bh = pick_bucket(buckets, rh)
+        bw = pick_bucket(buckets, rw)
+        img = np.zeros((1, bh, bw, 3), np.uint8)
+        img[0, :rh, :rw] = resized
+
+        out = jax.device_get(
+            self._step(self.engine.det_params, self.engine.rec_params, img)
+        )
+        kept, conf = ctc_greedy_collapse(out.ctc_idx, out.ctc_prob)
+
+        words = []
+        # reading order: top-to-bottom with a 10px row tolerance, then
+        # left-to-right (Utility::sort_boxes semantics)
+        order = sorted(
+            range(self.max_boxes),
+            key=lambda i: (int(out.boxes[i][1]) // 10, int(out.boxes[i][0])),
+        )
+        for i in order:
+            if not out.valid[i]:
+                continue
+            if np.isnan(conf[i]):
+                continue
+            x0, y0, x1, y1 = out.boxes[i]
+            # rescale det-image coords → source coords (truncating like
+            # FilterTagDetRes)
+            sx0 = int(np.clip(int(x0 / ratio_w), 0, base["width"] - 1))
+            sx1 = int(np.clip(int(x1 / ratio_w), 0, base["width"] - 1))
+            sy0 = int(np.clip(int(y0 / ratio_h), 0, base["height"] - 1))
+            sy1 = int(np.clip(int(y1 / ratio_h), 0, base["height"] - 1))
+            words.append(
+                {
+                    "text": "".join(
+                        self.engine.charset[k] for k in kept[i]
+                    ),
+                    "confidence": float(conf[i]),
+                    "box": [[sx0, sy0], [sx1, sy0], [sx1, sy1], [sx0, sy1]],
+                }
+            )
+        base["processing_time_ms"] = (time.perf_counter() - start) * 1e3
+        return {**base, "success": True, "words": words}
+
+    def warmup(self):
+        """Main-thread precompile of every det bucket pair (tunnel compiles
+        deadlock off the main thread — see OCREngine.warmup)."""
+        buckets = self.engine.config.det.shape_buckets
+        for h in buckets:
+            for w in buckets:
+                img = np.zeros((1, h, w, 3), np.uint8)
+                jax.device_get(
+                    self._step(
+                        self.engine.det_params, self.engine.rec_params, img
+                    )
+                )

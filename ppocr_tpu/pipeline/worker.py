@@ -40,10 +40,26 @@ class OCRWorker:
     def __init__(self, engine: OCREngine, worker_id: int = 0):
         self.engine = engine
         self.worker_id = worker_id
+        # fused step is engine-owned so all workers share one compiled set
+        self._fused = engine.fused_ocr() if engine.config.fast_path else None
 
     def process(
         self, image_bgr: Optional[np.ndarray], request_id: int
     ) -> Dict:
+        if self._fused is not None:
+            if image_bgr is None or image_bgr.size == 0:
+                return {
+                    "request_id": int(request_id),
+                    "width": 0,
+                    "height": 0,
+                    "success": False,
+                    "processing_time_ms": 0.0,
+                    "worker_id": self.worker_id,
+                    "error": "Empty image data provided",
+                }
+            return self._fused.process(
+                image_bgr, request_id, worker_id=self.worker_id
+            )
         start = time.perf_counter()
         base = {
             "request_id": int(request_id),
