@@ -62,6 +62,37 @@ def main() -> int:
     engine.config.fast_path = True
     fused = measure(OCRWorker(engine, worker_id=1))
 
+    # throughput: rec crops/sec/chip (BASELINE.json metric) — sustained
+    # width-bucketed batches through the recognizer
+    rng_crops = [image[30:58, 10 + 3 * i : 154 + 3 * i] for i in range(16)]
+    engine.recognize(rng_crops)  # warm
+    t0 = time.perf_counter()
+    reps = 20
+    for _ in range(reps):
+        engine.recognize(rng_crops)
+    crops_per_sec = reps * len(rng_crops) / (time.perf_counter() - t0)
+
+    # pipelined fused throughput (async dispatch, fetch once at the end)
+    import jax
+
+    fused_ocr = engine.fused_ocr()
+    from ppocr_tpu.ops import det_resize
+    from ppocr_tpu.pipeline.config import pick_bucket
+
+    resized, _, _ = det_resize(image, config.det.limit_type, config.det.limit_side_len)
+    bh = pick_bucket(config.det.shape_buckets, resized.shape[0])
+    bw = pick_bucket(config.det.shape_buckets, resized.shape[1])
+    img_padded = __import__("numpy").zeros((1, bh, bw, 3), "uint8")
+    img_padded[0, : resized.shape[0], : resized.shape[1]] = resized
+    step = fused_ocr._step
+    jax.device_get(step(engine.det_params, engine.rec_params, img_padded))
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(40):
+        out = step(engine.det_params, engine.rec_params, img_padded)
+    jax.block_until_ready(out)
+    fused_qps = 40 / (time.perf_counter() - t0)
+
     p50 = statistics.median(fused)  # fused single-dispatch = serving mode
     p99 = fused[min(len(fused) - 1, int(len(fused) * 0.99))]
     result = {
@@ -72,6 +103,8 @@ def main() -> int:
         "extra": {
             "p99_ms": round(p99, 3),
             "staged_parity_p50_ms": round(statistics.median(staged), 3),
+            "rec_crops_per_sec": round(crops_per_sec, 1),
+            "fused_pipelined_images_per_sec": round(fused_qps, 1),
             "iters": ITERS,
             "image": os.path.basename(CARD),
             "profile": "serving(det512, rec 28px, cls off); fused single-dispatch",
