@@ -51,6 +51,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-warmup", action="store_true", help="skip bucket pre-compilation")
     p.add_argument("--status-interval", type=float, default=30.0)
     p.add_argument(
+        "--det-buckets",
+        default=None,
+        help="comma-separated det compilation shape buckets (e.g. 192,384,512); "
+        "fewer buckets = faster cold-start warmup, more input padding",
+    )
+    p.add_argument(
         "--system-info",
         action="store_true",
         help="print worker sizing advice and exit (getWorkerRecommendation analog)",
@@ -73,6 +79,10 @@ async def _amain(args) -> int:
     if config.fast_path and config.enable_cls:
         print("NOTE: --fast-path ignores --cls (fused path has no cls stage)")
         config.enable_cls = False
+    if args.det_buckets:
+        config.det.shape_buckets = tuple(
+            sorted(int(v) for v in args.det_buckets.split(","))
+        )
 
     print(f"Loading models from {args.model_dir} ...", flush=True)
     service = OCRIPCService(

@@ -85,6 +85,28 @@ def crnn_resize(
     return resized
 
 
+def table_resize(img: np.ndarray, max_len: int = 488) -> Tuple[np.ndarray, float]:
+    """Long-side resize for table-structure inputs (TableResizeImg,
+    preprocess_op.cpp:139-151). Returns (resized, ratio)."""
+    h, w = img.shape[:2]
+    ratio = max_len / (w if w >= h else h)
+    return cv2.resize(img, (int(w * ratio), int(h * ratio))), ratio
+
+
+def table_pad(img: np.ndarray, max_len: int = 488) -> np.ndarray:
+    """Bottom/right zero-pad to a square max_len canvas (TablePadImg,
+    preprocess_op.cpp:153-159)."""
+    h, w = img.shape[:2]
+    return cv2.copyMakeBorder(
+        img, 0, max_len - h, 0, max_len - w, cv2.BORDER_CONSTANT, value=(0, 0, 0)
+    )
+
+
+def resize_hw(img: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Plain resize (Resize op, preprocess_op.cpp:161-164)."""
+    return cv2.resize(img, (w, h))
+
+
 def cls_resize(img: np.ndarray, cls_image_shape=(3, 48, 192)) -> np.ndarray:
     """Resize keeping aspect to cls height; the caller right-pads the batch
     buffer with zeros (the reference pads implicitly via a zeroed input
