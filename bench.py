@@ -85,11 +85,15 @@ def main() -> int:
     img_padded = __import__("numpy").zeros((1, bh, bw, 3), "uint8")
     img_padded[0, : resized.shape[0], : resized.shape[1]] = resized
     step = fused_ocr._step
-    jax.device_get(step(engine.det_params, engine.rec_params, img_padded))
+    jax.device_get(
+        step(engine.det_params, engine.rec_params, fused_ocr._cls_params(), img_padded)
+    )
     t0 = time.perf_counter()
     out = None
     for _ in range(40):
-        out = step(engine.det_params, engine.rec_params, img_padded)
+        out = step(
+            engine.det_params, engine.rec_params, fused_ocr._cls_params(), img_padded
+        )
     jax.block_until_ready(out)
     fused_qps = 40 / (time.perf_counter() - t0)
 

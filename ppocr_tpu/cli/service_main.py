@@ -46,7 +46,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--fast-path",
         action="store_true",
-        help="single-dispatch fused det→rec pipeline (fastest; axis-aligned boxes, no cls)",
+        help="single-dispatch fused det→(cls)→rec pipeline (fastest; axis-aligned boxes)",
     )
     p.add_argument("--no-warmup", action="store_true", help="skip bucket pre-compilation")
     p.add_argument("--status-interval", type=float, default=30.0)
@@ -76,9 +76,6 @@ async def _amain(args) -> int:
     config.dtype = args.dtype
     config.enable_cls = bool(args.cls)
     config.fast_path = bool(args.fast_path)
-    if config.fast_path and config.enable_cls:
-        print("NOTE: --fast-path ignores --cls (fused path has no cls stage)")
-        config.enable_cls = False
     if args.det_buckets:
         config.det.shape_buckets = tuple(
             sorted(int(v) for v in args.det_buckets.split(","))

@@ -126,15 +126,22 @@ def _blob_stats(labels: jnp.ndarray, prob: jnp.ndarray, max_boxes: int):
     }
 
 
-def _crop_resize_bilinear(img_f32, x0, y0, x1, y1, content_w, out_h, out_w):
+def _crop_resize_bilinear(
+    img_f32, x0, y0, x1, y1, content_w, out_h, out_w, rot180=None
+):
     """Sample the box region to [out_h, out_w, 3]; columns ≥ content_w are
-    black (matching rec's pad-before-normalize)."""
+    black (matching rec's pad-before-normalize). ``rot180`` (scalar bool)
+    mirrors the sampling grid — exactly equivalent to cv2.rotate(crop, 180)
+    before resizing (the cls label==1 action, ocr_worker.cpp:277-281)."""
     bh = y1 - y0 + 1.0
     bw = x1 - x0 + 1.0
     rows = (jnp.arange(out_h, dtype=jnp.float32) + 0.5) * bh / out_h - 0.5 + y0
     cols = (
         jnp.arange(out_w, dtype=jnp.float32) + 0.5
     ) * bw / jnp.maximum(content_w, 1.0) - 0.5 + x0
+    if rot180 is not None:
+        rows = jnp.where(rot180, (y0 + y1) - rows, rows)
+        cols = jnp.where(rot180, (x0 + x1) - cols, cols)
 
     h, w, _ = img_f32.shape
     ry = jnp.clip(rows, 0.0, h - 1.0)
@@ -167,12 +174,16 @@ def build_fused_step(
     rec_img_w: int,
     max_boxes: int,
     dtype=jnp.bfloat16,
+    cls_shape=None,
 ):
-    """Returns jitted ``step(det_params, rec_params, img_u8[1,H,W,3]) ->
-    FusedOutputs`` (compiled per padded det shape)."""
+    """Returns jitted ``step(det_params, rec_params, cls_params,
+    img_u8[1,H,W,3]) -> FusedOutputs`` (compiled per padded det shape).
+    With ``cls_shape=(h, w)`` the step also classifies each crop's
+    orientation in-graph and mirrors the rec sampling grid on label==1
+    (quirk preserved: the cls score/threshold is never consulted)."""
 
     @jax.jit
-    def step(det_params, rec_params, img_u8) -> FusedOutputs:
+    def step(det_params, rec_params, cls_params, img_u8) -> FusedOutputs:
         img = img_u8[0].astype(jnp.float32)  # [H, W, 3] 0..255
         x = (img / 255.0 - jnp.asarray(IMAGENET_MEAN)) * jnp.asarray(
             IMAGENET_SCALE
@@ -219,11 +230,35 @@ def build_fused_step(
             jnp.ceil(rec_img_h * ar), float(rec_img_w)
         )
 
-        crops = jax.vmap(
-            lambda a, b, c, dd, cw: _crop_resize_bilinear(
-                img, a, b, c, dd, cw, rec_img_h, rec_img_w
+        if cls_shape is not None:
+            from ..models.cls_mv3 import cls_forward
+
+            ch, cw_max = cls_shape
+            cls_content = jnp.minimum(jnp.ceil(ch * ar), float(cw_max))
+            cls_crops = jax.vmap(
+                lambda a, b, c, dd, cw: _crop_resize_bilinear(
+                    img, a, b, c, dd, cw, ch, cw_max
+                )
+            )(cx0, cy0, cx1, cy1, cls_content)
+            # cls pads AFTER normalize with 0 (ocr_cls.cpp:52-56)
+            cls_n = (cls_crops / 255.0 - jnp.asarray(HALF_MEAN)) * jnp.asarray(
+                HALF_SCALE
             )
-        )(cx0, cy0, cx1, cy1, content_w)
+            col_ok = (
+                jnp.arange(cw_max)[None, None, :, None]
+                < cls_content[:, None, None, None]
+            )
+            cls_n = cls_n * col_ok
+            cls_probs = cls_forward(cls_params, cls_n.astype(dtype))
+            rot180 = jnp.argmax(cls_probs, axis=-1) == 1
+        else:
+            rot180 = jnp.zeros((max_boxes,), jnp.bool_)
+
+        crops = jax.vmap(
+            lambda a, b, c, dd, cw, rt: _crop_resize_bilinear(
+                img, a, b, c, dd, cw, rec_img_h, rec_img_w, rot180=rt
+            )
+        )(cx0, cy0, cx1, cy1, content_w, rot180)
         crops_n = (crops / 255.0 - jnp.asarray(HALF_MEAN)) * jnp.asarray(
             HALF_SCALE
         )
@@ -253,6 +288,7 @@ class FusedOCR:
         self.max_boxes = max_boxes
         self.rec_img_h = cfg.rec.img_h
         self.rec_img_w = cfg.rec.img_w + cfg.rec.img_w  # 2× base width cap
+        self.with_cls = bool(cfg.enable_cls and engine.cls_params is not None)
         self._step = build_fused_step(
             cfg.det.thresh,
             cfg.det.box_thresh,
@@ -261,7 +297,13 @@ class FusedOCR:
             self.rec_img_w,
             max_boxes,
             dtype=engine.dtype,
+            cls_shape=(cfg.cls.image_shape[1], cfg.cls.image_shape[2])
+            if self.with_cls
+            else None,
         )
+
+    def _cls_params(self):
+        return self.engine.cls_params if self.with_cls else None
 
     def process(self, image_bgr: np.ndarray, request_id: int = 0, worker_id: int = 0) -> Dict:
         import time
@@ -291,7 +333,12 @@ class FusedOCR:
         img[0, :rh, :rw] = resized
 
         out = jax.device_get(
-            self._step(self.engine.det_params, self.engine.rec_params, img)
+            self._step(
+                self.engine.det_params,
+                self.engine.rec_params,
+                self._cls_params(),
+                img,
+            )
         )
         kept, conf = ctc_greedy_collapse(out.ctc_idx, out.ctc_prob)
 
@@ -335,6 +382,9 @@ class FusedOCR:
                 img = np.zeros((1, h, w, 3), np.uint8)
                 jax.device_get(
                     self._step(
-                        self.engine.det_params, self.engine.rec_params, img
+                        self.engine.det_params,
+                        self.engine.rec_params,
+                        self._cls_params(),
+                        img,
                     )
                 )

@@ -83,3 +83,37 @@ class TestFused:
             assert ys == sorted(ys) or (
                 abs(ys[0] - ys[1]) < 12 and boxes[0][0] <= boxes[1][0]
             )
+
+
+class TestFusedCls:
+    def test_mirrored_sampler_equals_rot180(self):
+        """rot180=True sampling must equal rotating the unrotated crop
+        content by 180° (the reference's rotate-then-resize order)."""
+        import jax.numpy as jnp
+
+        from ppocr_tpu.pipeline.fused import _crop_resize_bilinear
+
+        rng = np.random.default_rng(0)
+        img = jnp.asarray(rng.random((40, 60, 3)).astype(np.float32))
+        kw = dict(x0=5.0, y0=4.0, x1=50.0, y1=30.0, content_w=24.0, out_h=8, out_w=32)
+        plain = np.asarray(_crop_resize_bilinear(img, rot180=jnp.bool_(False), **kw))
+        mirrored = np.asarray(_crop_resize_bilinear(img, rot180=jnp.bool_(True), **kw))
+        cw = 24
+        np.testing.assert_allclose(
+            mirrored[:, :cw], plain[::-1, :cw][:, ::-1], atol=1e-5
+        )
+        assert mirrored[:, cw:].max() == 0  # padding stays right & black
+
+    def test_fused_with_cls_runs(self, reference_models, card_image_path):
+        from ppocr_tpu.pipeline import OCREngine
+
+        eng = OCREngine(
+            str(reference_models),
+            small_config(enable_cls=True, fast_path=True),
+        )
+        fused = eng.fused_ocr()
+        assert fused.with_cls is True
+        r = fused.process(cv2.imread(str(card_image_path)), 1)
+        assert r["success"] is True
+        r2 = fused.process(cv2.imread(str(card_image_path)), 2)
+        assert r["words"] == r2["words"]
