@@ -51,6 +51,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-warmup", action="store_true", help="skip bucket pre-compilation")
     p.add_argument("--status-interval", type=float, default=30.0)
     p.add_argument(
+        "--batch-requests",
+        type=int,
+        default=1,
+        help="fast-path only: coalesce up to N concurrent requests into one "
+        "device call (adds warmup compiles per batch bucket)",
+    )
+    p.add_argument(
         "--det-buckets",
         default=None,
         help="comma-separated det compilation shape buckets (e.g. 192,384,512); "
@@ -80,6 +87,12 @@ async def _amain(args) -> int:
         config.det.shape_buckets = tuple(
             sorted(int(v) for v in args.det_buckets.split(","))
         )
+    if args.batch_requests > 1 and config.fast_path:
+        bb, b = [], 1
+        while b < args.batch_requests:
+            bb.append(b)
+            b *= 2
+        config.request_batch_buckets = tuple(bb + [args.batch_requests])
 
     print(f"Loading models from {args.model_dir} ...", flush=True)
     service = OCRIPCService(

@@ -55,11 +55,16 @@ class PipelineConfig:
     # the reference worker defaults to no orientation classification
     # (ocr_worker.h:57: enable_cls = false)
     enable_cls: bool = False
-    # single-dispatch fused det→rec pipeline (pipeline.fused): the whole
-    # request runs in ONE device call — fastest serving mode for upright
-    # text; axis-aligned boxes only, cls not supported. The staged parity
-    # pipeline remains the default.
+    # single-dispatch fused det→(cls)→rec pipeline (pipeline.fused): the
+    # whole request runs in ONE device call — fastest serving mode for
+    # upright text; axis-aligned boxes only. The staged parity pipeline
+    # remains the default.
     fast_path: bool = False
+    # cross-request batch-size buckets for the fused path; (1,) disables
+    # request batching. Each extra bucket multiplies warmup compiles.
+    request_batch_buckets: Tuple[int, ...] = (1,)
+    # fused path: top-K blob candidates per image (rec runs B·K crops)
+    fused_max_boxes: int = 32
     # crop mode: "bounding" = axis-aligned cv::boundingRect (the worker's
     # actual behavior, ocr_worker.cpp:245-259); "perspective" = the unused
     # GetRotateCropImage path kept as an option (utility.cpp:137-190)

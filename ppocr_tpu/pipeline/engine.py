@@ -323,7 +323,9 @@ class OCREngine:
         if not hasattr(self, "_fused_ocr"):
             from .fused import FusedOCR
 
-            self._fused_ocr = FusedOCR(self)
+            self._fused_ocr = FusedOCR(
+                self, max_boxes=self.config.fused_max_boxes
+            )
         return self._fused_ocr
 
     # -- tracing -----------------------------------------------------------

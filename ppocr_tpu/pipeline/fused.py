@@ -182,17 +182,8 @@ def build_fused_step(
     orientation in-graph and mirrors the rec sampling grid on label==1
     (quirk preserved: the cls score/threshold is never consulted)."""
 
-    @jax.jit
-    def step(det_params, rec_params, cls_params, img_u8) -> FusedOutputs:
-        img = img_u8[0].astype(jnp.float32)  # [H, W, 3] 0..255
-        x = (img / 255.0 - jnp.asarray(IMAGENET_MEAN)) * jnp.asarray(
-            IMAGENET_SCALE
-        )
-        prob = det_forward(det_params, x[None].astype(dtype))[0].astype(
-            jnp.float32
-        )
-
-        # binarize exactly like the staged path (uint8 truncation, strict >)
+    def geometry(prob):
+        """Per-image: prob map → top-K blob boxes + validity (all [K])."""
         fg = (prob * 255.0).astype(jnp.uint8) > jnp.uint8(int(det_thresh * 255))
         labels = _connected_components(fg)
         stats = _blob_stats(labels, prob, max_boxes)
@@ -202,12 +193,9 @@ def build_fused_step(
         ssid = jnp.maximum(bw, bh)
         # unclip: expand by d = area_box·ratio / perimeter of the box
         d = (bw * bh) * unclip_ratio / jnp.maximum(2.0 * (bw + bh), 1.0)
-        ex0 = stats["x0"] - d
-        ex1 = stats["x1"] + d
-        ey0 = stats["y0"] - d
-        ey1 = stats["y1"] + d
-        ebw = ex1 - ex0 + 1.0
-        ebh = ey1 - ey0 + 1.0
+        ex0, ex1 = stats["x0"] - d, stats["x1"] + d
+        ey0, ey1 = stats["y0"] - d, stats["y1"] + d
+        ebw, ebh = ex1 - ex0 + 1.0, ey1 - ey0 + 1.0
 
         valid = (
             (stats["area"] > 2)
@@ -217,64 +205,89 @@ def build_fused_step(
             & (ebw > 4)
             & (ebh > 4)
         )
-
         h, w = prob.shape
         cx0 = jnp.clip(ex0, 0.0, w - 1.0)
         cx1 = jnp.clip(ex1, 0.0, w - 1.0)
         cy0 = jnp.clip(ey0, 0.0, h - 1.0)
         cy1 = jnp.clip(ey1, 0.0, h - 1.0)
+        return cx0, cy0, cx1, cy1, valid, stats["score"]
 
-        # rec content width per crop (CrnnResizeImg semantics)
-        ar = (cx1 - cx0 + 1.0) / jnp.maximum(cy1 - cy0 + 1.0, 1.0)
-        content_w = jnp.minimum(
-            jnp.ceil(rec_img_h * ar), float(rec_img_w)
+    def sample_crops(img, cx0, cy0, cx1, cy1, content_w, out_h, out_w, rot180):
+        return jax.vmap(
+            lambda a, b, c, dd, cw, rt: _crop_resize_bilinear(
+                img, a, b, c, dd, cw, out_h, out_w, rot180=rt
+            )
+        )(cx0, cy0, cx1, cy1, content_w, rot180)
+
+    @jax.jit
+    def step(det_params, rec_params, cls_params, img_u8) -> FusedOutputs:
+        """img_u8: [B, H, W, 3] — B is a native batch (cross-request
+        batching); det/cls/rec run as one big batch on the MXU while the
+        irregular geometry is vmapped per image."""
+        imgs = img_u8.astype(jnp.float32)  # [B, H, W, 3] 0..255
+        nb = imgs.shape[0]
+        x = (imgs / 255.0 - jnp.asarray(IMAGENET_MEAN)) * jnp.asarray(
+            IMAGENET_SCALE
         )
+        prob = det_forward(det_params, x.astype(dtype)).astype(jnp.float32)
+
+        cx0, cy0, cx1, cy1, valid, score = jax.vmap(geometry)(prob)  # [B, K]
+
+        ar = (cx1 - cx0 + 1.0) / jnp.maximum(cy1 - cy0 + 1.0, 1.0)
+        content_w = jnp.minimum(jnp.ceil(rec_img_h * ar), float(rec_img_w))
 
         if cls_shape is not None:
             from ..models.cls_mv3 import cls_forward
 
             ch, cw_max = cls_shape
             cls_content = jnp.minimum(jnp.ceil(ch * ar), float(cw_max))
+            no_rot = jnp.zeros_like(valid)
             cls_crops = jax.vmap(
-                lambda a, b, c, dd, cw: _crop_resize_bilinear(
-                    img, a, b, c, dd, cw, ch, cw_max
+                lambda im, a, b, c, dd, cw, rt: sample_crops(
+                    im, a, b, c, dd, cw, ch, cw_max, rt
                 )
-            )(cx0, cy0, cx1, cy1, cls_content)
+            )(imgs, cx0, cy0, cx1, cy1, cls_content, no_rot)
+            cls_n = (
+                cls_crops.reshape(nb * max_boxes, ch, cw_max, 3) / 255.0
+                - jnp.asarray(HALF_MEAN)
+            ) * jnp.asarray(HALF_SCALE)
             # cls pads AFTER normalize with 0 (ocr_cls.cpp:52-56)
-            cls_n = (cls_crops / 255.0 - jnp.asarray(HALF_MEAN)) * jnp.asarray(
-                HALF_SCALE
-            )
             col_ok = (
                 jnp.arange(cw_max)[None, None, :, None]
-                < cls_content[:, None, None, None]
+                < cls_content.reshape(-1)[:, None, None, None]
             )
             cls_n = cls_n * col_ok
             cls_probs = cls_forward(cls_params, cls_n.astype(dtype))
-            rot180 = jnp.argmax(cls_probs, axis=-1) == 1
+            rot180 = (jnp.argmax(cls_probs, axis=-1) == 1).reshape(
+                nb, max_boxes
+            )
         else:
-            rot180 = jnp.zeros((max_boxes,), jnp.bool_)
+            rot180 = jnp.zeros((nb, max_boxes), jnp.bool_)
 
         crops = jax.vmap(
-            lambda a, b, c, dd, cw, rt: _crop_resize_bilinear(
-                img, a, b, c, dd, cw, rec_img_h, rec_img_w, rot180=rt
+            lambda im, a, b, c, dd, cw, rt: sample_crops(
+                im, a, b, c, dd, cw, rec_img_h, rec_img_w, rt
             )
-        )(cx0, cy0, cx1, cy1, content_w, rot180)
-        crops_n = (crops / 255.0 - jnp.asarray(HALF_MEAN)) * jnp.asarray(
-            HALF_SCALE
-        )
+        )(imgs, cx0, cy0, cx1, cy1, content_w, rot180)
+        crops_n = (
+            crops.reshape(nb * max_boxes, rec_img_h, rec_img_w, 3) / 255.0
+            - jnp.asarray(HALF_MEAN)
+        ) * jnp.asarray(HALF_SCALE)
         probs = rec_forward(rec_params, crops_n.astype(dtype))
         idx, val = ctc_topk_device(probs)
 
         boxes = jnp.stack(
-            [
-                jnp.round(cx0),
-                jnp.round(cy0),
-                jnp.round(cx1),
-                jnp.round(cy1),
-            ],
-            axis=1,
+            [jnp.round(cx0), jnp.round(cy0), jnp.round(cx1), jnp.round(cy1)],
+            axis=2,
         ).astype(jnp.int32)
-        return FusedOutputs(boxes, valid, stats["score"], idx, val)
+        t = idx.shape[-1]
+        return FusedOutputs(
+            boxes,
+            valid,
+            score,
+            idx.reshape(nb, max_boxes, t),
+            val.reshape(nb, max_boxes, t),
+        )
 
     return step
 
@@ -305,86 +318,125 @@ class FusedOCR:
     def _cls_params(self):
         return self.engine.cls_params if self.with_cls else None
 
-    def process(self, image_bgr: np.ndarray, request_id: int = 0, worker_id: int = 0) -> Dict:
-        import time
-
-        from ..ops import det_resize
+    def _words_from_outputs(self, out, b, ratio_h, ratio_w, src_w, src_h):
         from ..ops.ctc import ctc_greedy_collapse
-        from .config import pick_bucket
 
-        start = time.perf_counter()
-        base = {
-            "request_id": int(request_id),
-            "width": int(image_bgr.shape[1]),
-            "height": int(image_bgr.shape[0]),
-            "success": False,
-            "processing_time_ms": 0.0,
-            "worker_id": worker_id,
-        }
-        cfg = self.engine.config
-        resized, ratio_h, ratio_w = det_resize(
-            image_bgr, cfg.det.limit_type, cfg.det.limit_side_len
-        )
-        rh, rw = resized.shape[:2]
-        buckets = cfg.det.shape_buckets
-        bh = pick_bucket(buckets, rh)
-        bw = pick_bucket(buckets, rw)
-        img = np.zeros((1, bh, bw, 3), np.uint8)
-        img[0, :rh, :rw] = resized
-
-        out = jax.device_get(
-            self._step(
-                self.engine.det_params,
-                self.engine.rec_params,
-                self._cls_params(),
-                img,
-            )
-        )
-        kept, conf = ctc_greedy_collapse(out.ctc_idx, out.ctc_prob)
-
+        kept, conf = ctc_greedy_collapse(out.ctc_idx[b], out.ctc_prob[b])
         words = []
         # reading order: top-to-bottom with a 10px row tolerance, then
         # left-to-right (Utility::sort_boxes semantics)
         order = sorted(
             range(self.max_boxes),
-            key=lambda i: (int(out.boxes[i][1]) // 10, int(out.boxes[i][0])),
+            key=lambda i: (int(out.boxes[b, i, 1]) // 10, int(out.boxes[b, i, 0])),
         )
         for i in order:
-            if not out.valid[i]:
+            if not out.valid[b, i] or np.isnan(conf[i]):
                 continue
-            if np.isnan(conf[i]):
-                continue
-            x0, y0, x1, y1 = out.boxes[i]
+            x0, y0, x1, y1 = out.boxes[b, i]
             # rescale det-image coords → source coords (truncating like
             # FilterTagDetRes)
-            sx0 = int(np.clip(int(x0 / ratio_w), 0, base["width"] - 1))
-            sx1 = int(np.clip(int(x1 / ratio_w), 0, base["width"] - 1))
-            sy0 = int(np.clip(int(y0 / ratio_h), 0, base["height"] - 1))
-            sy1 = int(np.clip(int(y1 / ratio_h), 0, base["height"] - 1))
+            sx0 = int(np.clip(int(x0 / ratio_w), 0, src_w - 1))
+            sx1 = int(np.clip(int(x1 / ratio_w), 0, src_w - 1))
+            sy0 = int(np.clip(int(y0 / ratio_h), 0, src_h - 1))
+            sy1 = int(np.clip(int(y1 / ratio_h), 0, src_h - 1))
             words.append(
                 {
-                    "text": "".join(
-                        self.engine.charset[k] for k in kept[i]
-                    ),
+                    "text": "".join(self.engine.charset[k] for k in kept[i]),
                     "confidence": float(conf[i]),
                     "box": [[sx0, sy0], [sx1, sy0], [sx1, sy1], [sx0, sy1]],
                 }
             )
-        base["processing_time_ms"] = (time.perf_counter() - start) * 1e3
-        return {**base, "success": True, "words": words}
+        return words
 
-    def warmup(self):
-        """Main-thread precompile of every det bucket pair (tunnel compiles
-        deadlock off the main thread — see OCREngine.warmup)."""
-        buckets = self.engine.config.det.shape_buckets
-        for h in buckets:
-            for w in buckets:
-                img = np.zeros((1, h, w, 3), np.uint8)
-                jax.device_get(
+    def process_batch(
+        self,
+        images,
+        request_ids,
+        worker_id: int = 0,
+        batch_buckets=None,
+    ):
+        """Cross-request batching: N same-bucket images → ONE device call.
+        Images are grouped by their det shape bucket; each group pads its
+        batch to ``batch_buckets`` so compiled variants stay closed."""
+        import time
+
+        from ..ops import det_resize
+        from .config import pick_bucket
+
+        cfg = self.engine.config
+        if batch_buckets is None:
+            batch_buckets = cfg.request_batch_buckets
+        start = time.perf_counter()
+        prepped = []  # (group_key, padded_img, ratios, meta)
+        for image, rid in zip(images, request_ids):
+            resized, ratio_h, ratio_w = det_resize(
+                image, cfg.det.limit_type, cfg.det.limit_side_len
+            )
+            rh, rw = resized.shape[:2]
+            bh = pick_bucket(cfg.det.shape_buckets, rh)
+            bw = pick_bucket(cfg.det.shape_buckets, rw)
+            canvas = np.zeros((bh, bw, 3), np.uint8)
+            canvas[:rh, :rw] = resized
+            prepped.append(
+                ((bh, bw), canvas, (ratio_h, ratio_w), (rid, image.shape))
+            )
+
+        results = {}
+        groups: Dict[tuple, list] = {}
+        for item in prepped:
+            groups.setdefault(item[0], []).append(item)
+        for (bh, bw), items in groups.items():
+            nb = pick_bucket(batch_buckets, len(items))
+            for beg in range(0, len(items), nb):
+                chunk = items[beg : beg + nb]
+                batch = np.zeros((nb, bh, bw, 3), np.uint8)
+                for j, (_, canvas, _, _) in enumerate(chunk):
+                    batch[j] = canvas
+                out = jax.device_get(
                     self._step(
                         self.engine.det_params,
                         self.engine.rec_params,
                         self._cls_params(),
-                        img,
+                        batch,
                     )
                 )
+                for j, (_, _, (ratio_h, ratio_w), (rid, shape)) in enumerate(
+                    chunk
+                ):
+                    words = self._words_from_outputs(
+                        out, j, ratio_h, ratio_w, shape[1], shape[0]
+                    )
+                    results[rid] = {
+                        "request_id": int(rid),
+                        "width": int(shape[1]),
+                        "height": int(shape[0]),
+                        "success": True,
+                        "processing_time_ms": (time.perf_counter() - start)
+                        * 1e3,
+                        "worker_id": worker_id,
+                        "words": words,
+                    }
+        return [results[rid] for rid in request_ids]
+
+    def process(self, image_bgr: np.ndarray, request_id: int = 0, worker_id: int = 0) -> Dict:
+        return self.process_batch([image_bgr], [request_id], worker_id)[0]
+
+    def warmup(self, batch_buckets=None):
+        """Main-thread precompile of every (det bucket pair × batch bucket)
+        (tunnel compiles deadlock off the main thread — see
+        OCREngine.warmup)."""
+        if batch_buckets is None:
+            batch_buckets = self.engine.config.request_batch_buckets
+        buckets = self.engine.config.det.shape_buckets
+        for nb in batch_buckets:
+            for h in buckets:
+                for w in buckets:
+                    img = np.zeros((nb, h, w, 3), np.uint8)
+                    jax.device_get(
+                        self._step(
+                            self.engine.det_params,
+                            self.engine.rec_params,
+                            self._cls_params(),
+                            img,
+                        )
+                    )

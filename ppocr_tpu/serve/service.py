@@ -80,7 +80,13 @@ class OCRIPCService:
         self.socket_path = socket_path
         self.num_workers = gpu_workers if gpu_workers > 0 else cpu_workers
         self.engine = engine or OCREngine(model_dir, config)
-        self.dispatcher = Dispatcher(self.engine, self.num_workers)
+        cfg = self.engine.config
+        if cfg.fast_path and max(cfg.request_batch_buckets) > 1:
+            from .batcher import BatchingDispatcher
+
+            self.dispatcher = BatchingDispatcher(self.engine, self.num_workers)
+        else:
+            self.dispatcher = Dispatcher(self.engine, self.num_workers)
 
         self.running = False
         self.request_counter = 0

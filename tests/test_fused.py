@@ -117,3 +117,49 @@ class TestFusedCls:
         assert r["success"] is True
         r2 = fused.process(cv2.imread(str(card_image_path)), 2)
         assert r["words"] == r2["words"]
+
+
+class TestBatching:
+    def test_process_batch_matches_individual(self, engine, fused):
+        imgs = [synthetic_text_image(), cv2.imread("/root/reference/images/card-jd.jpg")]
+        engine.config.fast_path = True
+        batched = fused.process_batch(imgs, [1, 2], batch_buckets=(1, 2))
+        singles = [fused.process(imgs[0], 1), fused.process(imgs[1], 2)]
+        for b, s in zip(batched, singles):
+            assert b["success"] and s["success"]
+            assert b["request_id"] == s["request_id"]
+            assert [w["box"] for w in b["words"]] == [w["box"] for w in s["words"]]
+            assert [w["text"] for w in b["words"]] == [w["text"] for w in s["words"]]
+
+    def test_batching_dispatcher_serves(self, reference_models, card_image_path):
+        import asyncio
+
+        from ppocr_tpu.pipeline import OCREngine
+        from ppocr_tpu.serve.batcher import BatchingDispatcher
+
+        cfg = small_config(
+            enable_cls=False,
+            fast_path=True,
+            request_batch_buckets=(1, 2),
+            fused_max_boxes=8,
+        )
+        cfg.det.shape_buckets = (96,)  # keep CPU warmup compile count tiny
+        eng = OCREngine(str(reference_models), cfg)
+        eng.warmup()
+        disp = BatchingDispatcher(eng, num_workers=1, max_wait_ms=10)
+        img = cv2.imread(str(card_image_path))
+
+        async def run():
+            results = await asyncio.gather(
+                *[disp.submit(img, i) for i in range(5)]
+            )
+            empty = await disp.submit(None, 99)
+            return results, empty
+
+        results, empty = asyncio.run(run())
+        assert all(r["success"] for r in results)
+        assert sorted(r["request_id"] for r in results) == list(range(5))
+        words0 = [w["text"] for w in results[0]["words"]]
+        assert all([w["text"] for w in r["words"]] == words0 for r in results)
+        assert empty["success"] is False
+        disp.shutdown()
