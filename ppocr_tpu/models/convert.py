@@ -21,7 +21,7 @@ import numpy as np
 
 from ..paddle_compat.program import ProgramDesc
 from .cls_mv3 import CLS_BLOCKS
-from .det_db import DET_BLOCKS, FPN_IN_CHANNELS, FPN_REDUCED
+from .det_db import DET_BLOCKS
 from .rec_svtr import REC_BLOCKS
 
 

@@ -30,7 +30,6 @@ Rotated/irregular text should use the staged parity pipeline
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, NamedTuple
 
 import jax

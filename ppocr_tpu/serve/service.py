@@ -29,7 +29,6 @@ import binascii
 import json
 import os
 import threading
-import time
 from typing import Optional
 
 import cv2

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..models.rec_svtr import REC_NUM_CLASSES, rec_forward_logits
+from ..models.rec_svtr import rec_forward_logits
 
 
 class TrainState(NamedTuple):

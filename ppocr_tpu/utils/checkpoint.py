@@ -11,7 +11,7 @@ shape-cache. Here:
 from __future__ import annotations
 
 import os
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import numpy as np
