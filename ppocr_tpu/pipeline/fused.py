@@ -56,10 +56,18 @@ class FusedOutputs(NamedTuple):
     ctc_prob: jnp.ndarray  # [K, T] f32
 
 
-def _connected_components(fg: jnp.ndarray, max_iters: int = 256) -> jnp.ndarray:
+def _connected_components(fg: jnp.ndarray, max_iters: int | None = None) -> jnp.ndarray:
     """8-connected min-label propagation. fg: [H, W] bool → [H, W] int32
-    labels (= min flat index of the blob; background = H*W)."""
+    labels (= min flat index of the blob; background = H*W).
+
+    Labels advance 1 px per iteration along a blob's internal geodesic, so
+    the cap must cover the worst case (a full-width text line): H+W+8.
+    The while_loop exits at convergence, so typical sparse maps stop after
+    ~the largest blob diameter.
+    """
     h, w = fg.shape
+    if max_iters is None:
+        max_iters = h + w + 8
     big = jnp.int32(h * w)
     init = jnp.where(
         fg,

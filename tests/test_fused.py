@@ -163,3 +163,19 @@ class TestBatching:
         assert all([w["text"] for w in r["words"]] == words0 for r in results)
         assert empty["success"] is False
         disp.shutdown()
+
+
+def test_connected_components_full_width_line():
+    """A 1px-tall full-width line must converge to ONE label (regression:
+    a fixed 256-iteration cap under-propagated on wide blobs)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ppocr_tpu.pipeline.fused import _connected_components
+
+    fg = np.zeros((8, 384), bool)
+    fg[3, :] = True
+    labels = np.asarray(jax.jit(_connected_components)(jnp.asarray(fg)))
+    line = labels[3, :]
+    assert (line == line[0]).all()
+    assert labels[0, 0] == 8 * 384  # background label
