@@ -102,6 +102,39 @@ class OCREngine:
         self.random_weights: Dict[str, bool] = {}
         self._load_params()
         self._build_steps()
+        # det shapes known-compiled (warmup + main-thread compiles). Worker
+        # threads may only execute these: compiling on a non-main thread
+        # deadlocks the TPU tunnel (see warmup docstring).
+        self._compiled_det_shapes: set = set()
+        self._check_resize_envelope()
+
+    def _check_resize_envelope(self):
+        """Warn at construction when the det resize envelope can exceed the
+        closed bucket set — such requests only succeed from the main thread
+        (ADVICE r1: the silent exact-shape fallback could lazily compile on
+        a worker thread and deadlock the TPU tunnel)."""
+        import warnings
+
+        det = self.config.det
+        if not det.pad_to_buckets:
+            return
+        if det.limit_type == "min":
+            warnings.warn(
+                "det limit_type='min' gives an unbounded resize envelope; "
+                "requests above shape_buckets[-1] are only served from the "
+                "main thread (off-bucket shapes are never lazily compiled "
+                "on worker threads)",
+                stacklevel=3,
+            )
+        else:
+            envelope = int(round(det.limit_side_len / 32)) * 32
+            if envelope > det.shape_buckets[-1]:
+                warnings.warn(
+                    f"det resize envelope {envelope} exceeds the largest "
+                    f"shape bucket {det.shape_buckets[-1]}; oversized "
+                    "requests are only served from the main thread",
+                    stacklevel=3,
+                )
 
     # -- weights ----------------------------------------------------------
 
@@ -216,7 +249,22 @@ class OCREngine:
             img = np.zeros((1, bh, bw, 3), np.uint8)
             img[0, :rh, :rw] = resized
         else:
+            # exact-shape fallback: only the main thread may trigger a fresh
+            # compile (non-main-thread compiles deadlock the TPU tunnel)
+            import threading
+
+            if (rh, rw) not in self._compiled_det_shapes and (
+                threading.current_thread() is not threading.main_thread()
+            ):
+                raise RuntimeError(
+                    f"det shape {(rh, rw)} is outside the compiled bucket "
+                    f"set (max {buckets[-1]}) and cannot be compiled from a "
+                    "worker thread; warm it up on the main thread via "
+                    "engine.warmup(det_shapes=[...]) or raise "
+                    "det.shape_buckets"
+                )
             img = np.ascontiguousarray(resized[None])  # [1,H,W,3] uint8
+            self._compiled_det_shapes.add((rh, rw))
         t1 = time.perf_counter()
         prob = np.asarray(self._det_step(self.det_params, img)[0])[:rh, :rw]
         t2 = time.perf_counter()
@@ -365,6 +413,7 @@ class OCREngine:
             self.fused_ocr().warmup()
         for h, w in det_shapes:
             np.asarray(self._det_step(self.det_params, np.zeros((1, h, w, 3), np.uint8)))
+            self._compiled_det_shapes.add((h, w))
         bb = batch_buckets(self.config.rec.batch_num)
         for n in bb:
             for w in self.config.rec.width_buckets:

@@ -54,6 +54,9 @@ class FusedOutputs(NamedTuple):
     scores: jnp.ndarray  # [K] f32 blob-mean det score
     ctc_idx: jnp.ndarray  # [K, T] int32
     ctc_prob: jnp.ndarray  # [K, T] f32
+    roots: jnp.ndarray  # [K] int32 blob root = flat index of the blob's
+    # raster-first pixel; descending root order == cv2.findContours
+    # emission order (reverse raster), the staged/reference word order
 
 
 def _connected_components(fg: jnp.ndarray, max_iters: int | None = None) -> jnp.ndarray:
@@ -130,6 +133,7 @@ def _blob_stats(labels: jnp.ndarray, prob: jnp.ndarray, max_boxes: int):
         "x1": x1,
         "y0": y0,
         "y1": y1,
+        "root": top_idx.astype(jnp.int32),
     }
 
 
@@ -189,9 +193,21 @@ def build_fused_step(
     orientation in-graph and mirrors the rec sampling grid on label==1
     (quirk preserved: the cls score/threshold is never consulted)."""
 
-    def geometry(prob):
-        """Per-image: prob map → top-K blob boxes + validity (all [K])."""
+    def geometry(prob, content_hw):
+        """Per-image: prob map → top-K blob boxes + validity (all [K]).
+
+        ``content_hw`` = (rh, rw), the actual resized extent inside the
+        bucket-padded canvas; activations past the image edge are masked out
+        before blob extraction (the staged path crops prob[:rh,:rw] —
+        engine.detect), so zero-padding cannot spawn phantom blobs."""
+        h, w = prob.shape
+        rh = content_hw[0].astype(jnp.int32)
+        rw = content_hw[1].astype(jnp.int32)
         fg = (prob * 255.0).astype(jnp.uint8) > jnp.uint8(int(det_thresh * 255))
+        in_content = (jnp.arange(h, dtype=jnp.int32)[:, None] < rh) & (
+            jnp.arange(w, dtype=jnp.int32)[None, :] < rw
+        )
+        fg = fg & in_content
         labels = _connected_components(fg)
         stats = _blob_stats(labels, prob, max_boxes)
 
@@ -212,12 +228,13 @@ def build_fused_step(
             & (ebw > 4)
             & (ebh > 4)
         )
-        h, w = prob.shape
-        cx0 = jnp.clip(ex0, 0.0, w - 1.0)
-        cx1 = jnp.clip(ex1, 0.0, w - 1.0)
-        cy0 = jnp.clip(ey0, 0.0, h - 1.0)
-        cy1 = jnp.clip(ey1, 0.0, h - 1.0)
-        return cx0, cy0, cx1, cy1, valid, stats["score"]
+        # clamp to the content extent, not the padded canvas (the staged
+        # path's postprocess clamps to the prob[:rh,:rw] crop)
+        cx0 = jnp.clip(ex0, 0.0, rw.astype(jnp.float32) - 1.0)
+        cx1 = jnp.clip(ex1, 0.0, rw.astype(jnp.float32) - 1.0)
+        cy0 = jnp.clip(ey0, 0.0, rh.astype(jnp.float32) - 1.0)
+        cy1 = jnp.clip(ey1, 0.0, rh.astype(jnp.float32) - 1.0)
+        return cx0, cy0, cx1, cy1, valid, stats["score"], stats["root"]
 
     def sample_crops(img, cx0, cy0, cx1, cy1, content_w, out_h, out_w, rot180):
         return jax.vmap(
@@ -227,10 +244,11 @@ def build_fused_step(
         )(cx0, cy0, cx1, cy1, content_w, rot180)
 
     @jax.jit
-    def step(det_params, rec_params, cls_params, img_u8) -> FusedOutputs:
+    def step(det_params, rec_params, cls_params, img_u8, content_hw) -> FusedOutputs:
         """img_u8: [B, H, W, 3] — B is a native batch (cross-request
-        batching); det/cls/rec run as one big batch on the MXU while the
-        irregular geometry is vmapped per image."""
+        batching); content_hw: [B, 2] int32 (rh, rw) actual resized extents
+        inside the padded canvas. det/cls/rec run as one big batch on the
+        MXU while the irregular geometry is vmapped per image."""
         imgs = img_u8.astype(jnp.float32)  # [B, H, W, 3] 0..255
         nb = imgs.shape[0]
         x = (imgs / 255.0 - jnp.asarray(IMAGENET_MEAN)) * jnp.asarray(
@@ -238,7 +256,9 @@ def build_fused_step(
         )
         prob = det_forward(det_params, x.astype(dtype)).astype(jnp.float32)
 
-        cx0, cy0, cx1, cy1, valid, score = jax.vmap(geometry)(prob)  # [B, K]
+        cx0, cy0, cx1, cy1, valid, score, roots = jax.vmap(geometry)(
+            prob, content_hw
+        )  # [B, K]
 
         ar = (cx1 - cx0 + 1.0) / jnp.maximum(cy1 - cy0 + 1.0, 1.0)
         content_w = jnp.minimum(jnp.ceil(rec_img_h * ar), float(rec_img_w))
@@ -294,6 +314,7 @@ def build_fused_step(
             score,
             idx.reshape(nb, max_boxes, t),
             val.reshape(nb, max_boxes, t),
+            roots,
         )
 
     return step
@@ -330,11 +351,13 @@ class FusedOCR:
 
         kept, conf = ctc_greedy_collapse(out.ctc_idx[b], out.ctc_prob[b])
         words = []
-        # reading order: top-to-bottom with a 10px row tolerance, then
-        # left-to-right (Utility::sort_boxes semantics)
+        # Emission order: the reference worker never sorts
+        # (ocr_worker.cpp:285-301) — words come out in cv2.findContours
+        # order, which is reverse raster order of each contour's first
+        # border pixel. The blob root IS that raster position, so
+        # descending-root order matches the staged/reference word order.
         order = sorted(
-            range(self.max_boxes),
-            key=lambda i: (int(out.boxes[b, i, 1]) // 10, int(out.boxes[b, i, 0])),
+            range(self.max_boxes), key=lambda i: -int(out.roots[b, i])
         )
         for i in order:
             if not out.valid[b, i] or np.isnan(conf[i]):
@@ -385,7 +408,7 @@ class FusedOCR:
             canvas = np.zeros((bh, bw, 3), np.uint8)
             canvas[:rh, :rw] = resized
             prepped.append(
-                ((bh, bw), canvas, (ratio_h, ratio_w), (rid, image.shape))
+                ((bh, bw), canvas, (rh, rw), (ratio_h, ratio_w), (rid, image.shape))
             )
 
         results = {}
@@ -397,17 +420,20 @@ class FusedOCR:
             for beg in range(0, len(items), nb):
                 chunk = items[beg : beg + nb]
                 batch = np.zeros((nb, bh, bw, 3), np.uint8)
-                for j, (_, canvas, _, _) in enumerate(chunk):
+                content_hw = np.zeros((nb, 2), np.int32)  # pad slots: (0,0)
+                for j, (_, canvas, (rh, rw), _, _) in enumerate(chunk):
                     batch[j] = canvas
+                    content_hw[j] = (rh, rw)
                 out = jax.device_get(
                     self._step(
                         self.engine.det_params,
                         self.engine.rec_params,
                         self._cls_params(),
                         batch,
+                        content_hw,
                     )
                 )
-                for j, (_, _, (ratio_h, ratio_w), (rid, shape)) in enumerate(
+                for j, (_, _, _, (ratio_h, ratio_w), (rid, shape)) in enumerate(
                     chunk
                 ):
                     words = self._words_from_outputs(
@@ -439,11 +465,15 @@ class FusedOCR:
             for h in buckets:
                 for w in buckets:
                     img = np.zeros((nb, h, w, 3), np.uint8)
+                    content = np.tile(
+                        np.array([[h, w]], np.int32), (nb, 1)
+                    )
                     jax.device_get(
                         self._step(
                             self.engine.det_params,
                             self.engine.rec_params,
                             self._cls_params(),
                             img,
+                            content,
                         )
                     )

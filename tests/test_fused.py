@@ -70,19 +70,69 @@ class TestFused:
         assert err["success"] is False
         assert err["error"] == "Empty image data provided"
 
-    def test_reading_order(self, fused):
-        """Two rows of text come back top row first, left to right."""
-        img = np.full((120, 260, 3), 255, np.uint8)
-        cv2.putText(img, "AA", (10, 40), cv2.FONT_HERSHEY_SIMPLEX, 1.1, (0, 0, 0), 2)
-        cv2.putText(img, "BB", (140, 40), cv2.FONT_HERSHEY_SIMPLEX, 1.1, (0, 0, 0), 2)
-        cv2.putText(img, "CC", (10, 100), cv2.FONT_HERSHEY_SIMPLEX, 1.1, (0, 0, 0), 2)
-        r = fused.process(img, 1)
-        boxes = [w["box"][0] for w in r["words"]]
-        if len(boxes) >= 2:
-            ys = [b[1] for b in boxes]
-            assert ys == sorted(ys) or (
-                abs(ys[0] - ys[1]) < 12 and boxes[0][0] <= boxes[1][0]
+    def test_reading_order_matches_contour_order(self):
+        """Fused emission order (descending blob root) must equal
+        cv2.findContours order — the staged/reference word order (the
+        reference worker never sorts, ocr_worker.cpp:285-301). Blobs are
+        placed so the old y//10 row-bucketing sort would disagree: two
+        blobs in the same visual row straddle a 10px boundary with x
+        reversed."""
+        import jax
+        import jax.numpy as jnp
+
+        from ppocr_tpu.pipeline.fused import _blob_stats, _connected_components
+
+        bitmap = np.zeros((64, 128), np.uint8)
+        bitmap[8:18, 80:120] = 1  # row 1, right, slightly higher
+        bitmap[12:22, 5:45] = 1  # row 1, left, y straddles the 10px bucket
+        bitmap[40:52, 10:60] = 1  # row 2
+        fg = jnp.asarray(bitmap.astype(bool))
+        labels = jax.jit(_connected_components)(fg)
+        stats = jax.jit(lambda l: _blob_stats(l, fg.astype(jnp.float32), 8))(labels)
+        valid = np.asarray(stats["area"]) > 0
+        roots = np.asarray(stats["root"])[valid]
+        x0 = np.asarray(stats["x0"])[valid]
+        y0 = np.asarray(stats["y0"])[valid]
+        fused_order = [
+            (int(x0[i]), int(y0[i]))
+            for i in np.argsort(-roots, kind="stable")
+        ]
+
+        contours, _ = cv2.findContours(
+            bitmap * 255, cv2.RETR_LIST, cv2.CHAIN_APPROX_SIMPLE
+        )
+        ref_order = [
+            tuple(int(v) for v in c.reshape(-1, 2).min(axis=0)) for c in contours
+        ]
+        assert fused_order == ref_order
+        # and the old y//10 bucketing would have ordered differently
+        bucketed = sorted(fused_order, key=lambda p: (p[1] // 10, p[0]))
+        assert bucketed != fused_order
+
+    def test_padding_region_masked(self, engine, fused):
+        """Bucket-padding must never spawn or extend blobs: with a content
+        extent of (rh, rw) smaller than the canvas, every valid box stays
+        inside [0, rw) × [0, rh) even when det activations fire in the
+        padded region (ADVICE r1: fg is masked before blob extraction)."""
+        import jax
+
+        h = w = engine.config.det.shape_buckets[-1]
+        rng = np.random.default_rng(3)
+        canvas = rng.integers(0, 255, (1, h, w, 3), np.uint8)
+        rh, rw = h // 2, w - 32
+        out = jax.device_get(
+            fused._step(
+                engine.det_params,
+                engine.rec_params,
+                fused._cls_params(),
+                canvas,
+                np.array([[rh, rw]], np.int32),
             )
+        )
+        valid = out.valid[0]
+        assert valid.any()  # noise + stand-in weights do fire
+        assert (out.boxes[0][valid, 2] <= rw - 1).all()
+        assert (out.boxes[0][valid, 3] <= rh - 1).all()
 
 
 class TestFusedCls:

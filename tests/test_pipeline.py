@@ -145,3 +145,66 @@ class TestEngineStages:
         assert len(engine.charset) == 6625
         assert engine.charset[0] == "#"
         assert engine.charset[-1] == " "
+
+
+class TestOffBucketGuard:
+    """Requests whose det resize exceeds the closed bucket set must never
+    lazily compile on a worker thread (that deadlocks the TPU tunnel —
+    ADVICE r1 / CLAUDE.md). Main-thread compiles stay allowed."""
+
+    def test_worker_thread_raises_clear_error(self, engine):
+        import threading
+
+        # limit 96 with buckets (64, 96): force the fallback by asking for
+        # a resize beyond the largest bucket
+        engine.config.det.limit_side_len = 192
+        try:
+            img = np.full((80, 160, 3), 255, np.uint8)
+            errs = []
+
+            def run():
+                try:
+                    engine.detect(img)
+                except RuntimeError as e:
+                    errs.append(str(e))
+
+            t = threading.Thread(target=run)
+            t.start()
+            t.join(timeout=60)
+            assert not t.is_alive()
+            assert len(errs) == 1 and "worker thread" in errs[0]
+        finally:
+            engine.config.det.limit_side_len = 96
+
+    def test_main_thread_fallback_still_works(self, engine):
+        engine.config.det.limit_side_len = 128
+        try:
+            img = np.full((70, 140, 3), 255, np.uint8)
+            boxes, times = engine.detect(img)  # compiles exact shape here
+            assert times.inference_ms > 0
+            # ...and the now-compiled shape is executable from a thread
+            import threading
+
+            ok = []
+            t = threading.Thread(
+                target=lambda: ok.append(engine.detect(img)[1].inference_ms)
+            )
+            t.start()
+            t.join(timeout=60)
+            assert ok and ok[0] > 0
+        finally:
+            engine.config.det.limit_side_len = 96
+
+    def test_envelope_warning(self, reference_models):
+        import warnings
+
+        from ppocr_tpu.pipeline.config import DetConfig
+
+        cfg = small_config(enable_cls=False)
+        cfg.det = DetConfig(
+            limit_type="max", limit_side_len=192, shape_buckets=(64, 96)
+        )
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.simplefilter("always")
+            OCREngine(str(reference_models), cfg)
+        assert any("envelope" in str(w.message) for w in rec)
