@@ -82,20 +82,67 @@ def main() -> int:
     resized, _, _ = det_resize(image, config.det.limit_type, config.det.limit_side_len)
     bh = pick_bucket(config.det.shape_buckets, resized.shape[0])
     bw = pick_bucket(config.det.shape_buckets, resized.shape[1])
-    img_padded = __import__("numpy").zeros((1, bh, bw, 3), "uint8")
+    np = __import__("numpy")
+    img_padded = np.zeros((1, bh, bw, 3), "uint8")
     img_padded[0, : resized.shape[0], : resized.shape[1]] = resized
+    content_hw = np.array([[resized.shape[0], resized.shape[1]]], "int32")
     step = fused_ocr._step
     jax.device_get(
-        step(engine.det_params, engine.rec_params, fused_ocr._cls_params(), img_padded)
+        step(
+            engine.det_params,
+            engine.rec_params,
+            fused_ocr._cls_params(),
+            img_padded,
+            content_hw,
+        )
     )
     t0 = time.perf_counter()
     out = None
     for _ in range(40):
         out = step(
-            engine.det_params, engine.rec_params, fused_ocr._cls_params(), img_padded
+            engine.det_params,
+            engine.rec_params,
+            fused_ocr._cls_params(),
+            img_padded,
+            content_hw,
         )
     jax.block_until_ready(out)
     fused_qps = 40 / (time.perf_counter() - t0)
+
+    # TRUE on-chip fused-step time, immune to the tunnel's replay cache:
+    # N-vs-1 dependent in-graph loop, novel args, device_get sync (see
+    # docs/PERF.md "Measurement protocol")
+    import jax.numpy as jnp
+
+    def _make_loop(n):
+        @jax.jit
+        def looped(dp, rp, x, c):
+            def it(i, acc):
+                v = (x + i.astype(jnp.uint8)).astype(jnp.uint8)
+                o = step.__wrapped__(dp, rp, None, v, c)
+                return acc + o.boxes.astype(jnp.float32).sum() + o.ctc_prob.sum()
+
+            return jax.lax.fori_loop(0, n, it, jnp.float32(0))
+
+        return looped
+
+    n_loop = 17
+    l1, ln = _make_loop(1), _make_loop(n_loop)
+    margs = (engine.det_params, engine.rec_params)
+
+    def _best(loop, salt):
+        ts = []
+        for i in range(2):
+            v = img_padded.copy()
+            v[0, 9, 9, 1] = salt + i
+            t0 = time.perf_counter()
+            jax.device_get(loop(*margs, v, content_hw))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    jax.device_get(l1(*margs, img_padded, content_hw))  # compile
+    jax.device_get(ln(*margs, img_padded, content_hw))
+    onchip_ms = (_best(ln, 170) - _best(l1, 40)) / (n_loop - 1) * 1e3
 
     p50 = statistics.median(fused)  # fused single-dispatch = serving mode
     p99 = fused[min(len(fused) - 1, int(len(fused) * 0.99))]
@@ -106,6 +153,7 @@ def main() -> int:
         "vs_baseline": round(REFERENCE_BASELINE_MS / p50, 3),
         "extra": {
             "p99_ms": round(p99, 3),
+            "fused_onchip_ms": round(onchip_ms, 3),
             "staged_parity_p50_ms": round(statistics.median(staged), 3),
             "rec_crops_per_sec": round(crops_per_sec, 1),
             "fused_pipelined_images_per_sec": round(fused_qps, 1),
