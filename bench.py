@@ -59,6 +59,26 @@ def main() -> int:
         return samples
 
     staged = measure(OCRWorker(engine, worker_id=0))
+
+    # staged throughput with stage overlap: 2 logical workers share the
+    # engine; det of request N+1 overlaps rec of request N (device calls
+    # release the GIL). The staged LATENCY floor through the tunnel is 2
+    # roundtrips (det fetch feeds the host geometry that builds rec's
+    # input) — see docs/PERF.md — so overlap is the staged-path lever.
+    from concurrent.futures import ThreadPoolExecutor
+
+    staged_workers = [OCRWorker(engine, worker_id=i) for i in range(2)]
+    with ThreadPoolExecutor(2) as pool:
+        list(pool.map(lambda w: w.process(image, 0), staged_workers))  # warm
+        t0 = time.perf_counter()
+        n_overlap = 24
+        futs = [
+            pool.submit(staged_workers[i % 2].process, image, i)
+            for i in range(n_overlap)
+        ]
+        assert all(f.result()["success"] for f in futs)
+        staged_qps = n_overlap / (time.perf_counter() - t0)
+
     engine.config.fast_path = True
     fused = measure(OCRWorker(engine, worker_id=1))
 
@@ -155,6 +175,7 @@ def main() -> int:
             "p99_ms": round(p99, 3),
             "fused_onchip_ms": round(onchip_ms, 3),
             "staged_parity_p50_ms": round(statistics.median(staged), 3),
+            "staged_overlap_images_per_sec": round(staged_qps, 1),
             "rec_crops_per_sec": round(crops_per_sec, 1),
             "fused_pipelined_images_per_sec": round(fused_qps, 1),
             "iters": ITERS,

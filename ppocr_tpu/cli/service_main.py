@@ -63,6 +63,14 @@ def build_parser() -> argparse.ArgumentParser:
         "fewer buckets = faster cold-start warmup, more input padding",
     )
     p.add_argument(
+        "--request-timeout",
+        type=float,
+        default=30000.0,
+        help="per-request wall-clock ceiling in ms (reference clients honor "
+        "--timeout; the service enforces it too so a wedged request cannot "
+        "pin a connection forever)",
+    )
+    p.add_argument(
         "--system-info",
         action="store_true",
         help="print worker sizing advice and exit (getWorkerRecommendation analog)",
@@ -100,6 +108,7 @@ async def _amain(args) -> int:
         cpu_workers=args.cpu_workers,
         gpu_workers=args.gpu_workers,
         config=config,
+        request_timeout_ms=args.request_timeout,
     )
     for name, is_random in service.engine.random_weights.items():
         if is_random:

@@ -36,6 +36,10 @@ class Dispatcher:
         self._pool = ThreadPoolExecutor(
             max_workers=num_workers, thread_name_prefix="ocr-worker"
         )
+        # per-worker health counters (SURVEY.md §5: the reference has no
+        # worker health beyond a global request count)
+        self._requests: List[int] = [0] * num_workers
+        self._errors: List[int] = [0] * num_workers
 
     def _pick_worker(self) -> int:
         """First idle worker, else round-robin — the reference's policy
@@ -49,10 +53,22 @@ class Dispatcher:
 
     def _run(self, worker_idx: int, image: Optional[np.ndarray], request_id: int):
         try:
-            return self.workers[worker_idx].process(image, request_id)
+            result = self.workers[worker_idx].process(image, request_id)
+            with self._lock:
+                self._requests[worker_idx] += 1
+                if not result.get("success"):
+                    self._errors[worker_idx] += 1
+            return result
         finally:
             with self._lock:
                 self._idle[worker_idx] = True
+
+    def worker_stats(self):
+        with self._lock:
+            return [
+                {"worker_id": i, "requests": self._requests[i], "errors": self._errors[i]}
+                for i in range(len(self.workers))
+            ]
 
     async def submit(
         self, image: Optional[np.ndarray], request_id: int

@@ -72,6 +72,7 @@ class OCRIPCService:
         gpu_workers: int = 0,
         config: Optional[PipelineConfig] = None,
         engine: Optional[OCREngine] = None,
+        request_timeout_ms: float = 30000.0,
     ):
         # the reference instantiates exactly one pool: gpu if gpu_workers>0
         # else cpu (ocr_ipc_service.cpp:58-66); here both map to logical
@@ -88,9 +89,15 @@ class OCRIPCService:
             self.dispatcher = Dispatcher(self.engine, self.num_workers)
 
         self.running = False
+        # per-request wall-clock ceiling (the reference client honors
+        # --timeout, ocr_ipc_client.cpp:102-133, but its service would pin
+        # a connection forever on a wedged worker — fixed here)
+        self.request_timeout = max(request_timeout_ms, 1.0) / 1000.0
         self.request_counter = 0
         self.total_requests = 0
         self.successful_requests = 0
+        self.failed_requests = 0
+        self.timed_out_requests = 0
         self.total_processing_time = 0.0
         self._server: Optional[asyncio.AbstractServer] = None
         self._loop: Optional[asyncio.AbstractEventLoop] = None
@@ -114,6 +121,10 @@ class OCRIPCService:
                 "total_requests": self.total_requests,
                 "successful_requests": self.successful_requests,
                 "average_processing_time_ms": avg,
+                # beyond-reference observability (SURVEY.md §5 gap):
+                "failed_requests": self.failed_requests,
+                "timed_out_requests": self.timed_out_requests,
+                "workers": self.dispatcher.worker_stats(),
             },
             separators=(",", ":"),
         )
@@ -149,12 +160,29 @@ class OCRIPCService:
                 self.request_counter += 1
                 request_id = self.request_counter
                 self.total_requests += 1
-                result = await self.dispatcher.submit(image, request_id)
+                try:
+                    result = await asyncio.wait_for(
+                        self.dispatcher.submit(image, request_id),
+                        timeout=self.request_timeout,
+                    )
+                except asyncio.TimeoutError:
+                    self.timed_out_requests += 1
+                    self.failed_requests += 1
+                    return {
+                        "request_id": request_id,
+                        "success": False,
+                        "error": (
+                            f"Request timed out after "
+                            f"{int(self.request_timeout * 1000)} ms"
+                        ),
+                    }
                 if result.get("success"):
                     self.successful_requests += 1
                     self.total_processing_time += result.get(
                         "processing_time_ms", 0.0
                     )
+                else:
+                    self.failed_requests += 1
                 return result
 
             if command == "status":

@@ -1,0 +1,174 @@
+"""Serving robustness (VERDICT r1 #6): supervised batch consumer,
+per-request timeout, per-worker error counters — hermetic tests with stub
+engines (no model compiles)."""
+
+import asyncio
+import base64
+import json
+
+import cv2
+import numpy as np
+import pytest
+
+from ppocr_tpu.pipeline.config import PipelineConfig
+from ppocr_tpu.serve.batcher import BatchingDispatcher
+from ppocr_tpu.serve.executor import Dispatcher
+from ppocr_tpu.serve.service import OCRIPCService
+
+
+class FakeFused:
+    def __init__(self):
+        self.calls = 0
+        self.fail_next = 0
+
+    def process_batch(self, images, request_ids, worker_id=0, batch_buckets=None):
+        self.calls += 1
+        if self.fail_next > 0:
+            self.fail_next -= 1
+            raise RuntimeError("device exploded")
+        return [
+            {"request_id": int(r), "success": True, "words": []}
+            for r in request_ids
+        ]
+
+
+class FakeEngine:
+    def __init__(self, fast_path=False):
+        self.config = PipelineConfig()
+        self.config.fast_path = fast_path
+        self.config.request_batch_buckets = (1, 2, 4)
+        self._fused = FakeFused()
+        self.random_weights = {}
+
+    def fused_ocr(self):
+        return self._fused
+
+
+IMG = np.full((8, 8, 3), 255, np.uint8)
+
+
+def tiny_b64():
+    ok, buf = cv2.imencode(".png", IMG)
+    assert ok
+    return base64.b64encode(buf.tobytes()).decode()
+
+
+class TestBatchingDispatcherSupervision:
+    def test_batch_failure_resolves_all_and_consumer_survives(self):
+        eng = FakeEngine(fast_path=True)
+        disp = BatchingDispatcher(eng, num_workers=1, max_wait_ms=5)
+        eng._fused.fail_next = 1
+
+        async def run():
+            bad = await asyncio.gather(
+                disp.submit(IMG, 1), disp.submit(IMG, 2)
+            )
+            good = await disp.submit(IMG, 3)
+            return bad, good
+
+        bad, good = asyncio.run(run())
+        assert all(r["success"] is False for r in bad)
+        assert all("device exploded" in r["error"] for r in bad)
+        assert good["success"] is True
+        stats = disp.worker_stats()[0]
+        assert stats["consumer_restarts"] == 1
+        assert stats["errors"] >= 2
+        disp.shutdown()
+
+    def test_cancelled_consumer_restarts_on_next_submit(self):
+        eng = FakeEngine(fast_path=True)
+        disp = BatchingDispatcher(eng, num_workers=1, max_wait_ms=2)
+
+        async def run():
+            r1 = await disp.submit(IMG, 1)
+            disp._consumer.cancel()
+            await asyncio.sleep(0.01)
+            assert disp._consumer.done()
+            r2 = await asyncio.wait_for(disp.submit(IMG, 2), timeout=5)
+            return r1, r2
+
+        r1, r2 = asyncio.run(run())
+        assert r1["success"] and r2["success"]
+        disp.shutdown()
+
+
+class TestWorkerCounters:
+    def test_dispatcher_per_worker_stats(self):
+        eng = FakeEngine(fast_path=False)
+        disp = Dispatcher(eng, num_workers=2)
+        for w in disp.workers:
+            w.process = lambda img, rid, _w=w: {
+                "request_id": rid,
+                "success": rid % 2 == 0,
+                "worker_id": _w.worker_id,
+            }
+
+        async def run():
+            return await asyncio.gather(
+                *[disp.submit(IMG, i) for i in range(6)]
+            )
+
+        results = asyncio.run(run())
+        assert len(results) == 6
+        stats = disp.worker_stats()
+        assert sum(s["requests"] for s in stats) == 6
+        assert sum(s["errors"] for s in stats) == 3  # odd request_ids fail
+        disp.shutdown()
+
+
+class TestRequestTimeout:
+    def _service(self, timeout_ms):
+        return OCRIPCService(
+            model_dir="/nonexistent",
+            socket_path="/tmp/unused-robustness.sock",
+            cpu_workers=1,
+            engine=FakeEngine(fast_path=False),
+            request_timeout_ms=timeout_ms,
+        )
+
+    def test_wedged_request_times_out(self):
+        svc = self._service(timeout_ms=50)
+
+        async def hang(image, request_id):
+            await asyncio.sleep(30)
+
+        svc.dispatcher.submit = hang
+
+        async def run():
+            line = json.dumps(
+                {"command": "recognize", "image_data": tiny_b64()}
+            ).encode()
+            return await svc.process_request(line)
+
+        r = asyncio.run(run())
+        assert r["success"] is False
+        assert "timed out" in r["error"]
+        assert svc.timed_out_requests == 1
+        assert svc.failed_requests == 1
+
+    def test_status_surfaces_health_counters(self):
+        svc = self._service(timeout_ms=50)
+        status = json.loads(svc.get_status_info())
+        assert status["failed_requests"] == 0
+        assert status["timed_out_requests"] == 0
+        assert status["workers"] == [
+            {"worker_id": 0, "requests": 0, "errors": 0}
+        ]
+
+    def test_failed_request_counted(self):
+        svc = self._service(timeout_ms=5000)
+
+        async def fail(image, request_id):
+            return {"request_id": request_id, "success": False, "error": "x"}
+
+        svc.dispatcher.submit = fail
+
+        async def run():
+            line = json.dumps(
+                {"command": "recognize", "image_data": tiny_b64()}
+            ).encode()
+            return await svc.process_request(line)
+
+        r = asyncio.run(run())
+        assert r["success"] is False
+        assert svc.failed_requests == 1 and svc.timed_out_requests == 0
