@@ -63,6 +63,14 @@ def build_parser() -> argparse.ArgumentParser:
         "fewer buckets = faster cold-start warmup, more input padding",
     )
     p.add_argument(
+        "--mesh",
+        type=int,
+        default=1,
+        help="shard fused request batches over the data axis of an N-device "
+        "mesh (params replicated; the multi-chip replacement for N worker "
+        "replicas). Pair with --batch-requests >= N so batches fill shards.",
+    )
+    p.add_argument(
         "--request-timeout",
         type=float,
         default=30000.0,
@@ -102,12 +110,37 @@ async def _amain(args) -> int:
         config.request_batch_buckets = tuple(bb + [args.batch_requests])
 
     print(f"Loading models from {args.model_dir} ...", flush=True)
+    engine = None
+    if args.mesh > 1:
+        if not config.fast_path:
+            print(
+                "--mesh requires --fast-path (the staged parity pipeline "
+                "is single-device)",
+                flush=True,
+            )
+            return 2
+        import jax
+
+        from ..parallel import make_mesh
+        from ..pipeline import OCREngine
+
+        n_dev = len(jax.devices())
+        if n_dev < args.mesh:
+            print(f"--mesh {args.mesh}: only {n_dev} devices visible", flush=True)
+            return 2
+        mesh = make_mesh(args.mesh, model=1)
+        engine = OCREngine(args.model_dir, config, mesh=mesh)
+        print(
+            f"Data-parallel fused serving over {args.mesh} devices",
+            flush=True,
+        )
     service = OCRIPCService(
         model_dir=args.model_dir,
         socket_path=resolve_socket_path(args.socket),
         cpu_workers=args.cpu_workers,
         gpu_workers=args.gpu_workers,
         config=config,
+        engine=engine,
         request_timeout_ms=args.request_timeout,
     )
     for name, is_random in service.engine.random_weights.items():

@@ -81,11 +81,25 @@ class OCREngine:
         model_dir: str,
         config: Optional[PipelineConfig] = None,
         device=None,
+        mesh=None,
     ):
+        """``mesh``: an optional ``jax.sharding.Mesh`` with a "data" axis.
+        When given, params are replicated across the mesh and the fused
+        serving path shards request batches over "data" — the multi-chip
+        replacement for the reference's N-replica worker pool
+        (cpu_worker_pool.cpp:43-56; SURVEY §2.4 DP row)."""
         self.config = config or PipelineConfig.serving()
         self.model_dir = model_dir
         enable_persistent_cache()
-        self.device = device or jax.devices()[0]
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            self._param_sharding = NamedSharding(mesh, PartitionSpec())
+            self.device = mesh.devices.flat[0]
+        else:
+            self._param_sharding = None
+            self.device = device or jax.devices()[0]
         self.dtype = (
             jnp.bfloat16 if self.config.dtype == "bfloat16" else jnp.float32
         )
@@ -182,7 +196,10 @@ class OCREngine:
             self.random_weights[name] = True
         if self.dtype == jnp.bfloat16:
             params = cast_tree(params, jnp.bfloat16)
-        return jax.device_put(params, self.device)
+        return jax.device_put(
+            params,
+            self._param_sharding if self.mesh is not None else self.device,
+        )
 
     def _load_params(self):
         self.det_params = self._load_one("det", convert_det_params)

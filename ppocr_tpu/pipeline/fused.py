@@ -372,6 +372,29 @@ class FusedOCR:
     def _cls_params(self):
         return self.engine.cls_params if self.with_cls else None
 
+    def _n_data(self) -> int:
+        """Data-parallel width: batches shard over the engine mesh's "data"
+        axis (the multi-chip replacement for N worker replicas)."""
+        mesh = self.engine.mesh
+        return int(mesh.shape["data"]) if mesh is not None else 1
+
+    def _pad_bucket(self, nb: int) -> int:
+        """Round a batch bucket up to a multiple of the data-axis width so
+        the leading axis shards evenly."""
+        n = self._n_data()
+        return -(-nb // n) * n
+
+    def _place_batch(self, batch, content_hw):
+        """Shard (batch, content_hw) over "data" when a mesh is configured;
+        otherwise hand jit the raw host arrays (single-device placement)."""
+        mesh = self.engine.mesh
+        if mesh is None:
+            return batch, content_hw
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        s = NamedSharding(mesh, P("data"))
+        return jax.device_put(batch, s), jax.device_put(content_hw, s)
+
     def _words_from_outputs(self, out, b, ratio_h, ratio_w, src_w, src_h):
         from ..ops.ctc import ctc_greedy_collapse
 
@@ -442,7 +465,7 @@ class FusedOCR:
         for item in prepped:
             groups.setdefault(item[0], []).append(item)
         for (bh, bw), items in groups.items():
-            nb = pick_bucket(batch_buckets, len(items))
+            nb = self._pad_bucket(pick_bucket(batch_buckets, len(items)))
             for beg in range(0, len(items), nb):
                 chunk = items[beg : beg + nb]
                 batch = np.zeros((nb, bh, bw, 3), np.uint8)
@@ -450,13 +473,14 @@ class FusedOCR:
                 for j, (_, canvas, (rh, rw), _, _) in enumerate(chunk):
                     batch[j] = canvas
                     content_hw[j] = (rh, rw)
+                batch_dev, content_dev = self._place_batch(batch, content_hw)
                 out = jax.device_get(
                     self._step(
                         self.engine.det_params,
                         self.engine.rec_params,
                         self._cls_params(),
-                        batch,
-                        content_hw,
+                        batch_dev,
+                        content_dev,
                     )
                 )
                 for j, (_, _, _, (ratio_h, ratio_w), (rid, shape)) in enumerate(
@@ -487,19 +511,20 @@ class FusedOCR:
         if batch_buckets is None:
             batch_buckets = self.engine.config.request_batch_buckets
         buckets = self.engine.config.det.shape_buckets
-        for nb in batch_buckets:
+        for nb in sorted({self._pad_bucket(b) for b in batch_buckets}):
             for h in buckets:
                 for w in buckets:
                     img = np.zeros((nb, h, w, 3), np.uint8)
                     content = np.tile(
                         np.array([[h, w]], np.int32), (nb, 1)
                     )
+                    img_dev, content_dev = self._place_batch(img, content)
                     jax.device_get(
                         self._step(
                             self.engine.det_params,
                             self.engine.rec_params,
                             self._cls_params(),
-                            img,
-                            content,
+                            img_dev,
+                            content_dev,
                         )
                     )

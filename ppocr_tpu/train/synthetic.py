@@ -39,6 +39,162 @@ def render_line(
     return img
 
 
+class SyntheticSceneDataset:
+    """Scenes of several rendered digit lines + DB shrink-mask supervision.
+
+    Closes the detector half of the training loop the way
+    ``SyntheticRecDataset`` closes the recognizer half: scenes are rendered
+    at a source resolution, downscaled to the det input geometry exactly
+    like the serving resize (``ops.det_resize`` semantics at fixed shape),
+    and supervised with the standard DB shrink mask — each text rect inset
+    by ``d = area·(1−r²)/perimeter`` (r = 0.4, the PaddleOCR training
+    shrink), which the serving unclip (ratio 1.8/2.0) re-expands at
+    postprocess time (postprocess_op.cpp:39-72).
+    """
+
+    def __init__(
+        self,
+        alphabet: str = "0123456789",
+        src_hw: Tuple[int, int] = (192, 192),
+        det_hw: Tuple[int, int] = (96, 96),
+        max_lines: int = 3,
+        min_len: int = 2,
+        max_len: int = 5,
+        shrink_ratio: float = 0.4,
+        seed: int = 0,
+    ):
+        self.alphabet = alphabet
+        self.src_hw = src_hw
+        self.det_hw = det_hw
+        self.max_lines = max_lines
+        self.min_len = min_len
+        self.max_len = max_len
+        self.shrink_ratio = shrink_ratio
+        self.rng = np.random.default_rng(seed)
+
+    def sample_scene(
+        self,
+    ) -> Tuple[np.ndarray, List[Tuple[str, Tuple[int, int, int, int]]]]:
+        """One source-resolution scene → (HWC uint8, [(text, (x0,y0,x1,y1))]).
+
+        Lines are placed without overlap (including a margin so the det
+        blobs stay separable); boxes are tight cv2.getTextSize rects.
+        """
+        h, w = self.src_hw
+        img = np.full((h, w, 3), 255, np.uint8)
+        placed: List[Tuple[str, Tuple[int, int, int, int]]] = []
+        n_lines = int(self.rng.integers(1, self.max_lines + 1))
+        for _ in range(n_lines):
+            n = int(self.rng.integers(self.min_len, self.max_len + 1))
+            text = "".join(self.rng.choice(list(self.alphabet), size=n))
+            scale = float(self.rng.uniform(0.9, 1.3))
+            thickness = 2
+            (tw, th), base = cv2.getTextSize(
+                text, cv2.FONT_HERSHEY_SIMPLEX, scale, thickness
+            )
+            if tw + 8 >= w or th + 8 >= h:
+                continue
+            for _attempt in range(12):
+                x0 = int(self.rng.integers(3, w - tw - 4))
+                y0 = int(self.rng.integers(3, h - th - 4))
+                box = (x0, y0, x0 + tw, y0 + th)
+                margin = 10
+                clash = any(
+                    not (
+                        box[2] + margin < b[0]
+                        or b[2] + margin < box[0]
+                        or box[3] + margin < b[1]
+                        or b[3] + margin < box[1]
+                    )
+                    for _, b in placed
+                )
+                if not clash:
+                    cv2.putText(
+                        img,
+                        text,
+                        (x0, y0 + th),
+                        cv2.FONT_HERSHEY_SIMPLEX,
+                        scale,
+                        (0, 0, 0),
+                        thickness,
+                        cv2.LINE_AA,
+                    )
+                    placed.append((text, box))
+                    break
+        return img, placed
+
+    def shrink_mask(
+        self, boxes: List[Tuple[int, int, int, int]]
+    ) -> np.ndarray:
+        """DB shrink mask at det resolution: each source-coords rect scaled
+        to det coords and inset by d = area·(1−r²)/perimeter."""
+        dh, dw = self.det_hw
+        sh, sw = self.src_hw
+        ry, rx = dh / sh, dw / sw
+        mask = np.zeros((dh, dw), np.float32)
+        r2 = 1.0 - self.shrink_ratio**2
+        for x0, y0, x1, y1 in boxes:
+            bx0, by0 = x0 * rx, y0 * ry
+            bx1, by1 = x1 * rx, y1 * ry
+            bw, bh = bx1 - bx0, by1 - by0
+            if bw < 2 or bh < 2:
+                continue
+            d = (bw * bh) * r2 / max(2.0 * (bw + bh), 1.0)
+            sx0 = int(round(bx0 + d))
+            sy0 = int(round(by0 + d))
+            sx1 = int(round(bx1 - d))
+            sy1 = int(round(by1 - d))
+            if sx1 <= sx0:  # keep at least a 1px-wide core
+                sx0 = sx1 = int(round((bx0 + bx1) / 2))
+                sx1 += 1
+            if sy1 <= sy0:
+                sy0 = sy1 = int(round((by0 + by1) / 2))
+                sy1 += 1
+            mask[sy0 : sy1 + 1, sx0 : sx1 + 1] = 1.0
+        return mask
+
+    def det_batch(
+        self, batch_size: int
+    ) -> Tuple[Dict[str, np.ndarray], List]:
+        """Batch for the det trainer: ImageNet-normalized det-res images +
+        shrink masks (the serving det step normalizes identically —
+        engine._build_steps)."""
+        dh, dw = self.det_hw
+        imgs = np.zeros((batch_size, dh, dw, 3), np.float32)
+        masks = np.zeros((batch_size, dh, dw), np.float32)
+        scenes = []
+        mean = np.array([0.485, 0.456, 0.406], np.float32)
+        scale = np.array([1 / 0.229, 1 / 0.224, 1 / 0.225], np.float32)
+        for i in range(batch_size):
+            scene, placed = self.sample_scene()
+            small = cv2.resize(scene, (dw, dh))
+            imgs[i] = (small.astype(np.float32) / 255.0 - mean) * scale
+            masks[i] = self.shrink_mask([b for _, b in placed])
+            scenes.append((scene, placed))
+        return {"images": imgs, "masks": masks}, scenes
+
+    def crop_with_margin(
+        self, scene: np.ndarray, box: Tuple[int, int, int, int], jitter=True
+    ) -> np.ndarray:
+        """Crop a gt rect the way the serving pipeline would: the detected
+        shrunk blob is unclip-expanded (≈ back to the full rect plus the
+        unclip overshoot), then axis-aligned bounding-crop'd from the source
+        image (ocr_worker.cpp:245-259). Modeled as the rect plus a margin of
+        10-45% of the text height per side (randomized when training)."""
+        x0, y0, x1, y1 = box
+        h = y1 - y0
+        if jitter:
+            m = [float(self.rng.uniform(0.10, 0.45) * h) for _ in range(4)]
+        else:
+            m = [0.25 * h] * 4
+        sh, sw = scene.shape[:2]
+        cx0 = max(0, int(round(x0 - m[0])))
+        cy0 = max(0, int(round(y0 - m[1])))
+        cx1 = min(sw, int(round(x1 + m[2])))
+        cy1 = min(sh, int(round(y1 + m[3])))
+        return scene[cy0:cy1, cx0:cx1]
+
+
 class SyntheticRecDataset:
     """Batches of (normalized images, padded labels, label paddings)."""
 
@@ -73,6 +229,63 @@ class SyntheticRecDataset:
             [render_line(t, self.img_h, self.img_w, self.rng) for t in texts]
         )
         # normalize exactly like the serving path (mean 0.5, scale 2)
+        x = (images.astype(np.float32) / 255.0 - 0.5) * 2.0
+        labels = np.zeros((batch_size, self.max_len), np.int32)
+        pad = np.ones((batch_size, self.max_len), np.float32)
+        for i, t in enumerate(texts):
+            for j, ch in enumerate(t):
+                labels[i, j] = self.char_to_idx[ch]
+                pad[i, j] = 0.0
+        return {"images": x, "labels": labels, "label_paddings": pad}, texts
+
+
+class SceneCropRecDataset:
+    """Recognizer batches drawn from detector scenes.
+
+    Where ``SyntheticRecDataset`` renders lines directly at rec geometry,
+    this one crops them out of ``SyntheticSceneDataset`` scenes with the
+    serving pipeline's crop semantics (unclip margin + axis-aligned
+    bounding crop + ``crnn_resize``), so a recognizer trained here matches
+    the distribution the detector actually feeds it end to end.
+    """
+
+    def __init__(
+        self,
+        charset: Sequence[str],
+        scenes: SyntheticSceneDataset,
+        img_h: int = 48,
+        img_w: int = 160,
+        seed: int = 1,
+    ):
+        self.char_to_idx = {c: i for i, c in enumerate(charset)}
+        self.scenes = scenes
+        self.img_h = img_h
+        self.img_w = img_w
+        self.max_len = scenes.max_len
+        self.rng = np.random.default_rng(seed)
+
+    def batch(self, batch_size: int) -> Tuple[Dict[str, np.ndarray], List[str]]:
+        from ..ops.resize import crnn_resize
+
+        crops: List[np.ndarray] = []
+        texts: List[str] = []
+        while len(crops) < batch_size:
+            scene, placed = self.scenes.sample_scene()
+            for text, box in placed:
+                if len(crops) >= batch_size:
+                    break
+                crop = self.scenes.crop_with_margin(scene, box)
+                if crop.shape[0] < 4 or crop.shape[1] < 4:
+                    continue
+                crops.append(
+                    crnn_resize(
+                        crop,
+                        self.img_w / self.img_h,
+                        (3, self.img_h, self.img_w),
+                    )
+                )
+                texts.append(text)
+        images = np.stack(crops)
         x = (images.astype(np.float32) / 255.0 - 0.5) * 2.0
         labels = np.zeros((batch_size, self.max_len), np.int32)
         pad = np.ones((batch_size, self.max_len), np.float32)

@@ -21,7 +21,15 @@ def main() -> int:
     p.add_argument("--steps", type=int, default=1500)
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--img-h", type=int, default=48)
     p.add_argument("--img-w", type=int, default=192)
+    p.add_argument(
+        "--scene-crops",
+        action="store_true",
+        help="train on detector-scene crops (unclip margins + crnn_resize, "
+        "the distribution the det stage feeds rec end to end) instead of "
+        "direct line renders",
+    )
     p.add_argument("--out", default="/tmp/rec_synthetic.npz")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
@@ -46,7 +54,20 @@ def main() -> int:
 
     enable_persistent_cache()
     charset = load_charset("/root/reference/models/rec/ppocr_keys_v1.txt")
-    ds = SyntheticRecDataset(charset, img_w=args.img_w)
+    if args.scene_crops:
+        from ppocr_tpu.train.synthetic import (
+            SceneCropRecDataset,
+            SyntheticSceneDataset,
+        )
+
+        ds = SceneCropRecDataset(
+            charset,
+            SyntheticSceneDataset(seed=7),
+            img_h=args.img_h,
+            img_w=args.img_w,
+        )
+    else:
+        ds = SyntheticRecDataset(charset, img_h=args.img_h, img_w=args.img_w)
 
     mesh = make_mesh(1)
     _, init_fn, step_fn = make_train_step(mesh, learning_rate=args.lr)
