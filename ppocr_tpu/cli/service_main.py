@@ -63,6 +63,13 @@ def build_parser() -> argparse.ArgumentParser:
         "fewer buckets = faster cold-start warmup, more input padding",
     )
     p.add_argument(
+        "--max-boxes",
+        type=int,
+        default=None,
+        help="fast-path only: top-K blob candidates per image (default 32); "
+        "lower = less padded rec compute per request",
+    )
+    p.add_argument(
         "--mesh",
         type=int,
         default=1,
@@ -102,6 +109,8 @@ async def _amain(args) -> int:
         config.det.shape_buckets = tuple(
             sorted(int(v) for v in args.det_buckets.split(","))
         )
+    if args.max_boxes:
+        config.fused_max_boxes = args.max_boxes
     if args.batch_requests > 1 and config.fast_path:
         bb, b = [], 1
         while b < args.batch_requests:
