@@ -39,7 +39,6 @@ def main() -> int:
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
-    import optax
 
     from ppocr_tpu.models import init_rec_params
     from ppocr_tpu.parallel import make_mesh
@@ -69,8 +68,12 @@ def main() -> int:
     else:
         ds = SyntheticRecDataset(charset, img_h=args.img_h, img_w=args.img_w)
 
+    import optax
+
     mesh = make_mesh(1)
-    _, init_fn, step_fn = make_train_step(mesh, learning_rate=args.lr)
+    # cosine decay to ~0 sharpens late-stage character accuracy
+    schedule = optax.cosine_decay_schedule(args.lr, args.steps, alpha=0.02)
+    _, init_fn, step_fn = make_train_step(mesh, learning_rate=schedule)
     state = init_fn(init_rec_params(seed=0))
 
     t0 = time.time()
