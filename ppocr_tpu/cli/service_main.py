@@ -63,6 +63,16 @@ def build_parser() -> argparse.ArgumentParser:
         "fewer buckets = faster cold-start warmup, more input padding",
     )
     p.add_argument(
+        "--rec-decode",
+        choices=["greedy", "beam"],
+        default="greedy",
+        help="CTC decode for the staged path: greedy (reference parity) or "
+        "prefix beam search (recovers labelings greedy misses)",
+    )
+    p.add_argument(
+        "--beam-size", type=int, default=10, help="beam width for --rec-decode beam"
+    )
+    p.add_argument(
         "--max-boxes",
         type=int,
         default=None,
@@ -111,6 +121,8 @@ async def _amain(args) -> int:
         )
     if args.max_boxes:
         config.fused_max_boxes = args.max_boxes
+    config.rec.decode = args.rec_decode
+    config.rec.beam_size = args.beam_size
     if args.batch_requests > 1 and config.fast_path:
         bb, b = [], 1
         while b < args.batch_requests:

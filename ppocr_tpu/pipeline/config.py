@@ -45,6 +45,12 @@ class RecConfig:
     # padded-width compilation buckets (multiples of 8 → integer timesteps);
     # a batch uses the smallest bucket ≥ int(img_h · max_wh_ratio)
     width_buckets: Tuple[int, ...] = (320, 448, 640, 896, 1280, 1792)
+    # CTC decode: "greedy" (reference parity, ocr_rec.cpp:97-128) or "beam"
+    # (prefix beam search — a capability the reference lacks; staged path)
+    decode: str = "greedy"
+    beam_size: int = 10
+    # per-timestep candidate symbols the device prunes the lattice to
+    beam_candidates: int = 5
 
 
 @dataclass

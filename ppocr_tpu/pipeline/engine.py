@@ -230,11 +230,26 @@ class OCREngine:
             probs = cls_forward(params, x.astype(dtype))
             return jnp.argmax(probs, -1).astype(jnp.int32), jnp.max(probs, -1)
 
-        @jax.jit
-        def rec_step(params, imgs_u8):
-            x = _nhwc_normalize(imgs_u8, HALF_MEAN, HALF_SCALE)
-            probs = rec_forward(params, x.astype(dtype))
-            return ctc_topk_device(probs)
+        if self.config.rec.decode == "beam":
+            from ..ops.ctc import ctc_beam_topk_device
+
+            cand_k = self.config.rec.beam_candidates
+
+            @jax.jit
+            def rec_step(params, imgs_u8):
+                x = _nhwc_normalize(imgs_u8, HALF_MEAN, HALF_SCALE)
+                probs = rec_forward(params, x.astype(dtype))
+                return ctc_beam_topk_device(
+                    probs.astype(jnp.float32), cand_k
+                )
+
+        else:
+
+            @jax.jit
+            def rec_step(params, imgs_u8):
+                x = _nhwc_normalize(imgs_u8, HALF_MEAN, HALF_SCALE)
+                probs = rec_forward(params, x.astype(dtype))
+                return ctc_topk_device(probs)
 
         self._det_step = det_step
         self._cls_step = cls_step
@@ -362,13 +377,23 @@ class OCREngine:
                     [batch, np.zeros((nb - len(idx),) + batch.shape[1:], np.uint8)]
                 )
             t1 = time.perf_counter()
-            top_idx, top_prob = jax.device_get(
+            outs = jax.device_get(
                 self._rec_step(self.rec_params, batch)
-            )  # single fetch for both outputs
-            top_idx = top_idx[: len(idx)]
-            top_prob = top_prob[: len(idx)]
+            )  # single fetch for all outputs
             t2 = time.perf_counter()
-            kept, conf = ctc_greedy_collapse(top_idx, top_prob)
+            if cfg.decode == "beam":
+                from ..ops.ctc import ctc_beam_search
+
+                kept, conf = ctc_beam_search(
+                    outs[0][: len(idx)],
+                    outs[1][: len(idx)],
+                    outs[2][: len(idx)],
+                    beam_size=cfg.beam_size,
+                )
+            else:
+                kept, conf = ctc_greedy_collapse(
+                    outs[0][: len(idx)], outs[1][: len(idx)]
+                )
             for j, i in enumerate(idx):
                 if np.isnan(conf[j]):
                     continue  # reference skips NaN results (ocr_rec.cpp:123)
