@@ -7,6 +7,8 @@ host. The TPU-native equivalents here:
     axis); XLA inserts the collectives, they ride ICI.
   * tensor parallelism — the 6,625-way CTC projection and logits shard
     over the "model" axis (the only weight matrix big enough to matter).
+  * pipeline parallelism — det/geometry on one chip, rec on another with a
+    device-to-device crops handoff (pipeline_stage.CrossChipFusedOCR).
 
 Single-chip serving needs none of this; these utilities light up when the
 engine is given a multi-device mesh (and are exercised on a virtual CPU
@@ -18,5 +20,11 @@ from .mesh import (
     shard_batch,
     sharded_rec_infer,
 )
+from .pipeline_stage import CrossChipFusedOCR
 
-__all__ = ["make_mesh", "shard_batch", "sharded_rec_infer"]
+__all__ = [
+    "CrossChipFusedOCR",
+    "make_mesh",
+    "shard_batch",
+    "sharded_rec_infer",
+]

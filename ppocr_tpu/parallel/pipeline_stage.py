@@ -1,0 +1,158 @@
+"""Cross-chip pipeline staging: det/geometry on one chip, rec on another
+(SURVEY §2.4 pipeline-parallel row — the reference runs det→cls→rec
+sequentially on one thread, ocr_worker.cpp:233-289; here the two stages
+live on different devices with a device-to-device crops handoff).
+
+Stage 1 (chip A): det forward → connected components → blob boxes →
+(optional in-graph cls) → rec-input crop sampling — ``prep`` from
+``pipeline.fused.build_fused_parts``.
+Stage 2 (chip B): recognizer forward + CTC top-k — ``rec``.
+
+The handoff tensor is the bf16 [B·K, h, w, 3] normalized crop batch,
+moved A→B with ``jax.device_put`` (ICI on real multi-chip hardware; the
+prob map, 4× larger, never leaves chip A). JAX's async dispatch gives
+request-level overlap for free: stage 1 of request n+1 executes on chip A
+while stage 2 of request n still runs on chip B — the host only blocks on
+final fetches.
+
+Latency note: through a per-dispatch-taxed link (the dev tunnel) this is
+2 dispatches vs the fused step's 1, so it is a *throughput* mode for real
+multi-chip topologies, not a tunnel-latency win (docs/PERF.md).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import numpy as np
+
+
+class CrossChipFusedOCR:
+    """Two-stage fused pipeline over an explicit (det_device, rec_device)
+    pair, sharing an OCREngine's params/config/postprocessing."""
+
+    def __init__(self, engine, det_device, rec_device, max_boxes: Optional[int] = None):
+        from ..pipeline.fused import FusedOCR, build_fused_parts
+
+        cfg = engine.config
+        self.engine = engine
+        self.det_device = det_device
+        self.rec_device = rec_device
+        self.max_boxes = max_boxes or cfg.fused_max_boxes
+        self.rec_img_h = cfg.rec.img_h
+        self.rec_img_w = cfg.rec.img_w + cfg.rec.img_w
+        self.with_cls = bool(cfg.enable_cls and engine.cls_params is not None)
+        prep, rec = build_fused_parts(
+            cfg.det.thresh,
+            cfg.det.box_thresh,
+            cfg.det.unclip_ratio,
+            self.rec_img_h,
+            self.rec_img_w,
+            self.max_boxes,
+            dtype=engine.dtype,
+            cls_shape=(cfg.cls.image_shape[1], cfg.cls.image_shape[2])
+            if self.with_cls
+            else None,
+        )
+        self._prep = jax.jit(prep)
+        self._rec = jax.jit(rec)
+        # per-stage param replicas on their own chips
+        self.det_params = jax.device_put(engine.det_params, det_device)
+        self.cls_params = (
+            jax.device_put(engine.cls_params, det_device)
+            if self.with_cls
+            else None
+        )
+        self.rec_params = jax.device_put(engine.rec_params, rec_device)
+        # words_from_outputs is shared with the single-chip fused wrapper
+        self._words = FusedOCR._words_from_outputs
+
+    # -- core two-stage dispatch -------------------------------------------
+
+    def _dispatch(self, canvas: np.ndarray, content_hw: np.ndarray):
+        """Dispatch both stages for one padded [1,H,W,3] canvas; returns
+        lazy (boxes, valid, score, roots, idx, val) device futures."""
+        img = jax.device_put(canvas, self.det_device)
+        chw = jax.device_put(content_hw, self.det_device)
+        crops_n, boxes, valid, score, roots = self._prep(
+            self.det_params, self.cls_params, img, chw
+        )
+        crops_b = jax.device_put(crops_n, self.rec_device)  # ★ d2d handoff
+        idx, val = self._rec(self.rec_params, crops_b)
+        return boxes, valid, score, roots, idx, val
+
+    def process_stream(
+        self, images: Sequence[np.ndarray], request_ids: Sequence[int],
+        worker_id: int = 0,
+    ) -> List[Dict]:
+        """Pipelined processing: all stage-1 dispatches are issued eagerly
+        (async), so det(n+1) on chip A overlaps rec(n) on chip B; results
+        are fetched in order at the end."""
+        import time
+
+        from ..ops import det_resize
+        from ..pipeline.config import pick_bucket
+        from ..pipeline.fused import FusedOutputs
+
+        cfg = self.engine.config
+        start = time.perf_counter()
+        pending = []
+        for image in images:
+            resized, ratio_h, ratio_w = det_resize(
+                image, cfg.det.limit_type, cfg.det.limit_side_len
+            )
+            rh, rw = resized.shape[:2]
+            bh = pick_bucket(cfg.det.shape_buckets, rh)
+            bw = pick_bucket(cfg.det.shape_buckets, rw)
+            canvas = np.zeros((1, bh, bw, 3), np.uint8)
+            canvas[0, :rh, :rw] = resized
+            futures = self._dispatch(
+                canvas, np.array([[rh, rw]], np.int32)
+            )
+            pending.append((futures, (ratio_h, ratio_w), image.shape))
+
+        results = []
+        for rid, (futures, (ratio_h, ratio_w), shape) in zip(
+            request_ids, pending
+        ):
+            boxes, valid, score, roots, idx, val = jax.device_get(futures)
+            t = idx.shape[-1]
+            out = FusedOutputs(
+                boxes,
+                valid,
+                score,
+                idx.reshape(1, self.max_boxes, t),
+                val.reshape(1, self.max_boxes, t),
+                roots,
+            )
+            words = self._words(
+                self, out, 0, ratio_h, ratio_w, shape[1], shape[0]
+            )
+            results.append(
+                {
+                    "request_id": int(rid),
+                    "width": int(shape[1]),
+                    "height": int(shape[0]),
+                    "success": True,
+                    "processing_time_ms": (time.perf_counter() - start) * 1e3,
+                    "worker_id": worker_id,
+                    "words": words,
+                }
+            )
+        return results
+
+    def process(self, image_bgr: np.ndarray, request_id: int = 0) -> Dict:
+        return self.process_stream([image_bgr], [request_id])[0]
+
+    def warmup(self):
+        """Main-thread precompile of both stages for every det bucket."""
+        buckets = self.engine.config.det.shape_buckets
+        for h in buckets:
+            for w in buckets:
+                jax.device_get(
+                    self._dispatch(
+                        np.zeros((1, h, w, 3), np.uint8),
+                        np.array([[h, w]], np.int32),
+                    )
+                )

@@ -203,7 +203,7 @@ def _crop_resize_bilinear(
     return out * col_mask
 
 
-def build_fused_step(
+def build_fused_parts(
     det_thresh: float,
     box_thresh: float,
     unclip_ratio: float,
@@ -213,11 +213,20 @@ def build_fused_step(
     dtype=jnp.bfloat16,
     cls_shape=None,
 ):
-    """Returns jitted ``step(det_params, rec_params, cls_params,
-    img_u8[1,H,W,3]) -> FusedOutputs`` (compiled per padded det shape).
-    With ``cls_shape=(h, w)`` the step also classifies each crop's
-    orientation in-graph and mirrors the rec sampling grid on label==1
-    (quirk preserved: the cls score/threshold is never consulted)."""
+    """The fused pipeline split at its natural cross-chip boundary:
+
+    ``prep(det_params, cls_params, img_u8, content_hw)`` — det forward,
+    blob geometry, (optional in-graph cls) and rec-input crop sampling;
+    returns (crops_n [B·K, h, w, 3] normalized, boxes, valid, score,
+    roots).
+
+    ``rec(rec_params, crops_n)`` — recognizer forward + CTC top-k.
+
+    ``build_fused_step`` jits their composition (single-dispatch serving);
+    ``parallel.pipeline_stage`` jits each half separately so det/geometry
+    runs on one chip and rec on another with a device-to-device crops
+    handoff (SURVEY §2.4 pipeline-parallel row).
+    """
 
     def geometry(prob, content_hw):
         """Per-image: prob map → top-K blob boxes + validity (all [K]).
@@ -269,12 +278,11 @@ def build_fused_step(
             )
         )(cx0, cy0, cx1, cy1, content_w, rot180)
 
-    @jax.jit
-    def step(det_params, rec_params, cls_params, img_u8, content_hw) -> FusedOutputs:
+    def prep(det_params, cls_params, img_u8, content_hw):
         """img_u8: [B, H, W, 3] — B is a native batch (cross-request
         batching); content_hw: [B, 2] int32 (rh, rw) actual resized extents
-        inside the padded canvas. det/cls/rec run as one big batch on the
-        MXU while the irregular geometry is vmapped per image."""
+        inside the padded canvas. det/cls run as one big batch on the MXU
+        while the irregular geometry is vmapped per image."""
         imgs = img_u8.astype(jnp.float32)  # [B, H, W, 3] 0..255
         nb = imgs.shape[0]
         x = (imgs / 255.0 - jnp.asarray(IMAGENET_MEAN)) * jnp.asarray(
@@ -326,13 +334,53 @@ def build_fused_step(
             crops.reshape(nb * max_boxes, rec_img_h, rec_img_w, 3) / 255.0
             - jnp.asarray(HALF_MEAN)
         ) * jnp.asarray(HALF_SCALE)
-        probs = rec_forward(rec_params, crops_n.astype(dtype))
-        idx, val = ctc_topk_device(probs)
-
         boxes = jnp.stack(
             [jnp.round(cx0), jnp.round(cy0), jnp.round(cx1), jnp.round(cy1)],
             axis=2,
         ).astype(jnp.int32)
+        return crops_n.astype(dtype), boxes, valid, score, roots
+
+    def rec(rec_params, crops_n):
+        probs = rec_forward(rec_params, crops_n)
+        return ctc_topk_device(probs)
+
+    return prep, rec
+
+
+def build_fused_step(
+    det_thresh: float,
+    box_thresh: float,
+    unclip_ratio: float,
+    rec_img_h: int,
+    rec_img_w: int,
+    max_boxes: int,
+    dtype=jnp.bfloat16,
+    cls_shape=None,
+):
+    """Returns jitted ``step(det_params, rec_params, cls_params,
+    img_u8[B,H,W,3], content_hw[B,2]) -> FusedOutputs`` (compiled per padded
+    det shape) — the single-dispatch composition of :func:`build_fused_parts`.
+    With ``cls_shape=(h, w)`` the step also classifies each crop's
+    orientation in-graph and mirrors the rec sampling grid on label==1
+    (quirk preserved: the cls score/threshold is never consulted)."""
+    prep, rec = build_fused_parts(
+        det_thresh,
+        box_thresh,
+        unclip_ratio,
+        rec_img_h,
+        rec_img_w,
+        max_boxes,
+        dtype=dtype,
+        cls_shape=cls_shape,
+    )
+
+    @jax.jit
+    def step(det_params, rec_params, cls_params, img_u8, content_hw) -> FusedOutputs:
+        crops_n, boxes, valid, score, roots = prep(
+            det_params, cls_params, img_u8, content_hw
+        )
+        idx, val = rec(rec_params, crops_n)
+        nb = img_u8.shape[0]
         t = idx.shape[-1]
         return FusedOutputs(
             boxes,
