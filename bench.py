@@ -28,6 +28,84 @@ CARD = os.environ.get(
 ITERS = int(os.environ.get("PPOCR_BENCH_ITERS", "50"))
 
 
+def _trained_accuracy(n_scenes: int = 8):
+    """Exact-match fraction of rendered digit lines read back through the
+    staged pipeline with the bundled trained det+rec weights (the e2e
+    accuracy loop of tests/test_e2e_trained.py, measured on this chip)."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from ppocr_tpu.pipeline import OCREngine, OCRWorker
+    from ppocr_tpu.pipeline.config import DetConfig, PipelineConfig, RecConfig
+    from ppocr_tpu.train.synthetic import SyntheticSceneDataset
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    det_w = os.path.join(here, "weights", "det_synthetic_digits.npz")
+    rec_w = os.path.join(here, "weights", "rec_scene_digits.npz")
+    if not (os.path.exists(det_w) and os.path.exists(rec_w)):
+        return None
+    with tempfile.TemporaryDirectory() as md:
+        for name in ("det", "cls", "rec"):
+            os.makedirs(os.path.join(md, name))
+            shutil.copy(
+                os.path.join(MODEL_DIR, name, "inference.pdmodel"),
+                os.path.join(md, name, "inference.pdmodel"),
+            )
+        shutil.copy(
+            os.path.join(MODEL_DIR, "rec", "ppocr_keys_v1.txt"),
+            os.path.join(md, "rec", "ppocr_keys_v1.txt"),
+        )
+        shutil.copy(det_w, os.path.join(md, "det", "weights.npz"))
+        shutil.copy(rec_w, os.path.join(md, "rec", "weights.npz"))
+        cfg = PipelineConfig(
+            det=DetConfig(
+                limit_type="max",
+                limit_side_len=96,
+                thresh=0.2,
+                box_thresh=0.4,
+                unclip_ratio=1.8,
+                score_mode="fast",
+                shape_buckets=(64, 96),
+            ),
+            rec=RecConfig(
+                batch_num=4, img_h=48, img_w=160, width_buckets=(160,)
+            ),
+            enable_cls=False,
+            dtype="float32",
+        )
+        worker = OCRWorker(OCREngine(md, cfg), worker_id=0)
+        ds = SyntheticSceneDataset(seed=424)
+        total = exact = 0
+        for s in range(n_scenes):
+            scene, placed = ds.sample_scene()
+            r = worker.process(scene, s)
+            if not r.get("success"):
+                return None
+            for t, (x0, y0, x1, y1) in placed:
+                best, biou = None, 0.2
+                for word in r["words"]:
+                    bx = np.array(word["box"])
+                    wx0, wy0 = bx.min(0)
+                    wx1, wy1 = bx.max(0)
+                    ix0, iy0 = max(x0, wx0), max(y0, wy0)
+                    ix1, iy1 = min(x1, wx1), min(y1, wy1)
+                    inter = max(0, ix1 - ix0) * max(0, iy1 - iy0)
+                    ua = (
+                        (x1 - x0) * (y1 - y0)
+                        + (wx1 - wx0) * (wy1 - wy0)
+                        - inter
+                    )
+                    v = inter / ua if ua > 0 else 0.0
+                    if v > biou:
+                        biou, best = v, word
+                total += 1
+                if best is not None and best["text"] == t:
+                    exact += 1
+        return round(exact / max(total, 1), 4)
+
+
 def main() -> int:
     import cv2
 
@@ -164,6 +242,15 @@ def main() -> int:
     jax.device_get(ln(*margs, img_padded, content_hw))
     onchip_ms = (_best(ln, 170) - _best(l1, 40)) / (n_loop - 1) * 1e3
 
+    # e2e accuracy with the bundled in-repo-trained weights: real OCR on
+    # this chip (det finds rendered digit lines, rec reads them back);
+    # None when the weight bundles are absent
+    trained_acc = None
+    try:
+        trained_acc = _trained_accuracy()
+    except Exception:
+        pass
+
     p50 = statistics.median(fused)  # fused single-dispatch = serving mode
     p99 = fused[min(len(fused) - 1, int(len(fused) * 0.99))]
     result = {
@@ -185,6 +272,7 @@ def main() -> int:
             "stand_in_weights": [
                 k for k, v in engine.random_weights.items() if v
             ],
+            "trained_weights_e2e_exact_match": trained_acc,
         },
     }
     print(json.dumps(result))

