@@ -75,11 +75,12 @@ class CrossChipFusedOCR:
         lazy (boxes, valid, score, roots, idx, val) device futures."""
         img = jax.device_put(canvas, self.det_device)
         chw = jax.device_put(content_hw, self.det_device)
-        crops_n, boxes, valid, score, roots = self._prep(
+        crops_n, boxes, valid, score, roots, narrow = self._prep(
             self.det_params, self.cls_params, img, chw
         )
         crops_b = jax.device_put(crops_n, self.rec_device)  # ★ d2d handoff
-        idx, val = self._rec(self.rec_params, crops_b)
+        narrow_b = jax.device_put(narrow, self.rec_device)
+        idx, val = self._rec(self.rec_params, crops_b, narrow_b)
         return boxes, valid, score, roots, idx, val
 
     def process_stream(

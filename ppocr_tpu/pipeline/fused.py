@@ -338,11 +338,37 @@ def build_fused_parts(
             [jnp.round(cx0), jnp.round(cy0), jnp.round(cx1), jnp.round(cy1)],
             axis=2,
         ).astype(jnp.int32)
-        return crops_n.astype(dtype), boxes, valid, score, roots
+        # narrow fast path flag: every VALID crop's content fits in the
+        # half-width slice → rec runs at rec_img_w/2, exactly the width the
+        # staged path's bucket picker would choose (engine.recognize)
+        content_valid = jnp.where(valid, content_w, 0.0)
+        narrow = jnp.max(content_valid) <= float(rec_img_w // 2)
+        return crops_n.astype(dtype), boxes, valid, score, roots, narrow
 
-    def rec(rec_params, crops_n):
-        probs = rec_forward(rec_params, crops_n)
-        return ctc_topk_device(probs)
+    def rec(rec_params, crops_n, narrow):
+        """CTC recognition with a width-conditional fast path: when every
+        valid crop's content fits rec_img_w/2 (the common case — full-width
+        crops only appear for very wide lines), the recognizer runs on the
+        half-width slice, halving its FLOPs. lax.cond executes only the
+        taken branch on TPU; the narrow branch's CTC outputs are padded
+        with blanks (idx 0) which the greedy collapse drops, so downstream
+        decode is unchanged."""
+        t_full = jax.eval_shape(
+            lambda c: ctc_topk_device(rec_forward(rec_params, c)), crops_n
+        )[0].shape[-1]
+
+        def run_full(c):
+            return ctc_topk_device(rec_forward(rec_params, c))
+
+        def run_narrow(c):
+            half = c[:, :, : rec_img_w // 2]
+            idx, val = ctc_topk_device(rec_forward(rec_params, half))
+            pad_t = t_full - idx.shape[-1]
+            idx = jnp.pad(idx, ((0, 0), (0, pad_t)))  # blank id 0
+            val = jnp.pad(val, ((0, 0), (0, pad_t)), constant_values=1.0)
+            return idx, val
+
+        return lax.cond(narrow, run_narrow, run_full, crops_n)
 
     return prep, rec
 
@@ -376,10 +402,10 @@ def build_fused_step(
 
     @jax.jit
     def step(det_params, rec_params, cls_params, img_u8, content_hw) -> FusedOutputs:
-        crops_n, boxes, valid, score, roots = prep(
+        crops_n, boxes, valid, score, roots, narrow = prep(
             det_params, cls_params, img_u8, content_hw
         )
-        idx, val = rec(rec_params, crops_n)
+        idx, val = rec(rec_params, crops_n, narrow)
         nb = img_u8.shape[0]
         t = idx.shape[-1]
         return FusedOutputs(
