@@ -1,0 +1,147 @@
+"""Recognizer fine-tuning recipe (train.finetune): label-file loader,
+charset tools, CTC-head surgery, checkpoint rotation, serving bundle."""
+
+import os
+
+import numpy as np
+import pytest
+
+from ppocr_tpu.train.finetune import (
+    FinetuneDataset,
+    build_charset,
+    charset_classes,
+    read_label_file,
+    reinit_ctc_head,
+    write_charset,
+)
+
+
+@pytest.fixture(scope="module")
+def crop_dir(tmp_path_factory):
+    """Tiny labeled dataset: rendered lines over a 6-char alphabet."""
+    import cv2
+
+    from ppocr_tpu.train.synthetic import render_line
+
+    root = tmp_path_factory.mktemp("ft_data")
+    rng = np.random.default_rng(5)
+    texts = ["AB1", "C2A", "31C", "BBA2", "1A", "C3"]
+    lines = []
+    for i, t in enumerate(texts):
+        img = render_line(t, 48, 96, rng)
+        cv2.imwrite(str(root / f"crop_{i}.png"), img)
+        lines.append(f"crop_{i}.png\t{t}")
+    (root / "rec_gt.txt").write_text("\n".join(lines) + "\n")
+    return root, texts
+
+
+class TestCharsetTools:
+    def test_build_and_write_roundtrip(self, tmp_path):
+        from ppocr_tpu.pipeline.charset import load_charset
+
+        chars = build_charset(["AB1", "C2A", " spaced "])
+        assert chars == ["1", "2", "A", "B", "C", "a", "c", "d", "e", "p", "s"]
+        path = tmp_path / "keys.txt"
+        write_charset(path, chars)
+        classes = load_charset(str(path))
+        assert classes == charset_classes(chars)
+        assert classes[0] == "#" and classes[-1] == " "
+
+    def test_read_label_file_rejects_untabbed(self, tmp_path):
+        p = tmp_path / "bad.txt"
+        p.write_text("img.png no tab here\n")
+        with pytest.raises(ValueError):
+            read_label_file(str(p))
+
+    def test_reinit_ctc_head(self):
+        from ppocr_tpu.models.rec_svtr import init_rec_params
+
+        params = init_rec_params(seed=0)
+        new = reinit_ctc_head(params, 9, seed=1)
+        assert new["head"]["fc"]["w"].shape == (120, 9)
+        assert new["head"]["fc"]["b"].shape == (9,)
+        # everything else is shared, and the original is untouched
+        assert new["backbone"] is params["backbone"]
+        assert params["head"]["fc"]["w"].shape[1] != 9
+
+
+class TestDataset:
+    def test_loads_and_batches(self, crop_dir):
+        root, texts = crop_dir
+        ds = FinetuneDataset(str(root / "rec_gt.txt"), img_h=48, img_w=96)
+        assert len(ds) == len(texts)
+        assert ds.classes[0] == "#" and ds.classes[-1] == " "
+        b = ds.batch(4)
+        assert b["images"].shape == (4, 48, 96, 3)
+        assert b["labels"].shape == b["label_paddings"].shape == (4, ds.max_len)
+        # labels decode back through the classes list
+        row = b["labels"][0][b["label_paddings"][0] == 0.0]
+        assert all(ds.classes[i] in "ABC123" for i in row)
+
+    def test_oov_labels_skipped_with_fixed_charset(self, crop_dir):
+        root, texts = crop_dir
+        ds = FinetuneDataset(
+            str(root / "rec_gt.txt"),
+            classes=charset_classes(["A", "B", "1"]),
+            img_h=48,
+            img_w=96,
+        )
+        assert ds.skipped > 0
+        assert all(set(t) <= {"A", "B", "1"} for t in ds.texts)
+
+
+class TestFinetuneLoop:
+    def test_finetune_exports_serving_bundle(self, crop_dir, tmp_path):
+        from ppocr_tpu.pipeline.charset import load_charset
+        from ppocr_tpu.train.finetune import finetune_rec
+        from ppocr_tpu.utils.checkpoint import load_params_npz
+
+        root, _ = crop_dir
+        out = tmp_path / "ft_out"
+        weights = finetune_rec(
+            str(root / "rec_gt.txt"),
+            str(out),
+            steps=3,
+            batch_size=4,
+            img_h=48,
+            img_w=96,
+            ckpt_every=1,
+            ckpt_keep=2,
+            log_every=0,
+        )
+        assert os.path.exists(weights)
+        params = load_params_npz(weights)
+        classes = load_charset(str(out / "ppocr_keys_v1.txt"))
+        # head surgery matched the bundle charset (6 chars + blank + space)
+        assert params["head"]["fc"]["b"].shape[0] == len(classes) == 8
+        # checkpoint rotation kept only the last 2
+        kept = sorted(os.listdir(out / "ckpts"))
+        assert kept == ["step_2", "step_3"]
+
+    def test_warm_start_from_existing_weights(self, crop_dir, tmp_path):
+        """Warm-starting from the bundled digit weights re-inits only the
+        head (charset differs) and still steps."""
+        import pathlib
+
+        from ppocr_tpu.train.finetune import finetune_rec
+
+        bundle = (
+            pathlib.Path(__file__).parent.parent
+            / "weights"
+            / "rec_synthetic_digits.npz"
+        )
+        if not bundle.exists():
+            pytest.skip("demo weights not present")
+        root, _ = crop_dir
+        out = tmp_path / "ft_warm"
+        weights = finetune_rec(
+            str(root / "rec_gt.txt"),
+            str(out),
+            init_weights=str(bundle),
+            steps=2,
+            batch_size=4,
+            img_h=48,
+            img_w=96,
+            log_every=0,
+        )
+        assert os.path.exists(weights)
