@@ -43,6 +43,8 @@ class CrossChipFusedOCR:
         self.rec_img_h = cfg.rec.img_h
         self.rec_img_w = cfg.rec.img_w + cfg.rec.img_w
         self.with_cls = bool(cfg.enable_cls and engine.cls_params is not None)
+        self.decode = cfg.rec.decode
+        self.beam_size = cfg.rec.beam_size
         prep, rec = build_fused_parts(
             cfg.det.thresh,
             cfg.det.box_thresh,
@@ -54,6 +56,8 @@ class CrossChipFusedOCR:
             cls_shape=(cfg.cls.image_shape[1], cfg.cls.image_shape[2])
             if self.with_cls
             else None,
+            decode=cfg.rec.decode,
+            beam_candidates=cfg.rec.beam_candidates,
         )
         self._prep = jax.jit(prep)
         self._rec = jax.jit(rec)
@@ -80,8 +84,8 @@ class CrossChipFusedOCR:
         )
         crops_b = jax.device_put(crops_n, self.rec_device)  # ★ d2d handoff
         narrow_b = jax.device_put(narrow, self.rec_device)
-        idx, val = self._rec(self.rec_params, crops_b, narrow_b)
-        return boxes, valid, score, roots, idx, val
+        idx, val, blank = self._rec(self.rec_params, crops_b, narrow_b)
+        return boxes, valid, score, roots, idx, val, blank
 
     def process_stream(
         self, images: Sequence[np.ndarray], request_ids: Sequence[int],
@@ -117,15 +121,20 @@ class CrossChipFusedOCR:
         for rid, (futures, (ratio_h, ratio_w), shape) in zip(
             request_ids, pending
         ):
-            boxes, valid, score, roots, idx, val = jax.device_get(futures)
-            t = idx.shape[-1]
+            boxes, valid, score, roots, idx, val, blank = jax.device_get(
+                futures
+            )
+            t = idx.shape[1]
             out = FusedOutputs(
                 boxes,
                 valid,
                 score,
-                idx.reshape(1, self.max_boxes, t),
-                val.reshape(1, self.max_boxes, t),
+                idx.reshape((1, self.max_boxes) + idx.shape[1:]),
+                val.reshape((1, self.max_boxes) + val.shape[1:]),
                 roots,
+                blank.reshape(1, self.max_boxes, t)
+                if blank is not None
+                else None,
             )
             words = self._words(
                 self, out, 0, ratio_h, ratio_w, shape[1], shape[0]

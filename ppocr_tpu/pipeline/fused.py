@@ -52,11 +52,12 @@ class FusedOutputs(NamedTuple):
     boxes: jnp.ndarray  # [K, 4] int32 (x0, y0, x1, y1) in det-image coords
     valid: jnp.ndarray  # [K] bool
     scores: jnp.ndarray  # [K] f32 blob-mean det score
-    ctc_idx: jnp.ndarray  # [K, T] int32
-    ctc_prob: jnp.ndarray  # [K, T] f32
+    ctc_idx: jnp.ndarray  # [K, T] int32 (greedy) | [K, T, C] (beam lattice)
+    ctc_prob: jnp.ndarray  # [K, T] f32 | [K, T, C]
     roots: jnp.ndarray  # [K] int32 blob root = flat index of the blob's
     # raster-first pixel; descending root order == cv2.findContours
     # emission order (reverse raster), the staged/reference word order
+    ctc_blank: jnp.ndarray = None  # [K, T] f32 blank prob (beam decode only)
 
 
 def _connected_components(fg: jnp.ndarray, max_iters: int | None = None) -> jnp.ndarray:
@@ -212,6 +213,8 @@ def build_fused_parts(
     max_boxes: int,
     dtype=jnp.bfloat16,
     cls_shape=None,
+    decode: str = "greedy",
+    beam_candidates: int = 5,
 ):
     """The fused pipeline split at its natural cross-chip boundary:
 
@@ -345,28 +348,44 @@ def build_fused_parts(
         narrow = jnp.max(content_valid) <= float(rec_img_w // 2)
         return crops_n.astype(dtype), boxes, valid, score, roots, narrow
 
+    def _decode_outputs(probs, t_full):
+        """probs [N, T, V] → CTC decode operands, tail-padded to t_full with
+        pure-blank timesteps (greedy collapse drops blank-id 0; beam search
+        multiplies by blank mass 1.0 — both no-ops downstream)."""
+        t = probs.shape[1]
+        if decode == "beam":
+            from ..ops.ctc import ctc_beam_topk_device
+
+            idx, val, blank = ctc_beam_topk_device(probs, beam_candidates)
+            pad = ((0, 0), (0, t_full - t), (0, 0))
+            idx = jnp.pad(idx, pad)
+            val = jnp.pad(val, pad)
+            blank = jnp.pad(
+                blank, ((0, 0), (0, t_full - t)), constant_values=1.0
+            )
+            return idx, val, blank
+        idx, val = ctc_topk_device(probs)
+        idx = jnp.pad(idx, ((0, 0), (0, t_full - t)))  # blank id 0
+        val = jnp.pad(val, ((0, 0), (0, t_full - t)), constant_values=1.0)
+        return idx, val, None
+
     def rec(rec_params, crops_n, narrow):
         """CTC recognition with a width-conditional fast path: when every
         valid crop's content fits rec_img_w/2 (the common case — full-width
         crops only appear for very wide lines), the recognizer runs on the
         half-width slice, halving its FLOPs. lax.cond executes only the
         taken branch on TPU; the narrow branch's CTC outputs are padded
-        with blanks (idx 0) which the greedy collapse drops, so downstream
-        decode is unchanged."""
+        with pure-blank timesteps, so downstream decode is unchanged."""
         t_full = jax.eval_shape(
-            lambda c: ctc_topk_device(rec_forward(rec_params, c)), crops_n
-        )[0].shape[-1]
+            rec_forward, rec_params, crops_n
+        ).shape[1]
 
         def run_full(c):
-            return ctc_topk_device(rec_forward(rec_params, c))
+            return _decode_outputs(rec_forward(rec_params, c), t_full)
 
         def run_narrow(c):
             half = c[:, :, : rec_img_w // 2]
-            idx, val = ctc_topk_device(rec_forward(rec_params, half))
-            pad_t = t_full - idx.shape[-1]
-            idx = jnp.pad(idx, ((0, 0), (0, pad_t)))  # blank id 0
-            val = jnp.pad(val, ((0, 0), (0, pad_t)), constant_values=1.0)
-            return idx, val
+            return _decode_outputs(rec_forward(rec_params, half), t_full)
 
         return lax.cond(narrow, run_narrow, run_full, crops_n)
 
@@ -382,13 +401,17 @@ def build_fused_step(
     max_boxes: int,
     dtype=jnp.bfloat16,
     cls_shape=None,
+    decode: str = "greedy",
+    beam_candidates: int = 5,
 ):
     """Returns jitted ``step(det_params, rec_params, cls_params,
     img_u8[B,H,W,3], content_hw[B,2]) -> FusedOutputs`` (compiled per padded
     det shape) — the single-dispatch composition of :func:`build_fused_parts`.
     With ``cls_shape=(h, w)`` the step also classifies each crop's
     orientation in-graph and mirrors the rec sampling grid on label==1
-    (quirk preserved: the cls score/threshold is never consulted)."""
+    (quirk preserved: the cls score/threshold is never consulted). With
+    ``decode="beam"`` the step ships the device-pruned top-k lattice
+    (+ blank probs) instead of the greedy argmax."""
     prep, rec = build_fused_parts(
         det_thresh,
         box_thresh,
@@ -398,6 +421,8 @@ def build_fused_step(
         max_boxes,
         dtype=dtype,
         cls_shape=cls_shape,
+        decode=decode,
+        beam_candidates=beam_candidates,
     )
 
     @jax.jit
@@ -405,16 +430,17 @@ def build_fused_step(
         crops_n, boxes, valid, score, roots, narrow = prep(
             det_params, cls_params, img_u8, content_hw
         )
-        idx, val = rec(rec_params, crops_n, narrow)
+        idx, val, blank = rec(rec_params, crops_n, narrow)
         nb = img_u8.shape[0]
-        t = idx.shape[-1]
+        t = idx.shape[1]
         return FusedOutputs(
             boxes,
             valid,
             score,
-            idx.reshape(nb, max_boxes, t),
-            val.reshape(nb, max_boxes, t),
+            idx.reshape((nb, max_boxes) + idx.shape[1:]),
+            val.reshape((nb, max_boxes) + val.shape[1:]),
             roots,
+            blank.reshape(nb, max_boxes, t) if blank is not None else None,
         )
 
     return step
@@ -430,6 +456,8 @@ class FusedOCR:
         self.rec_img_h = cfg.rec.img_h
         self.rec_img_w = cfg.rec.img_w + cfg.rec.img_w  # 2× base width cap
         self.with_cls = bool(cfg.enable_cls and engine.cls_params is not None)
+        self.decode = cfg.rec.decode
+        self.beam_size = cfg.rec.beam_size
         self._step = build_fused_step(
             cfg.det.thresh,
             cfg.det.box_thresh,
@@ -441,6 +469,8 @@ class FusedOCR:
             cls_shape=(cfg.cls.image_shape[1], cfg.cls.image_shape[2])
             if self.with_cls
             else None,
+            decode=cfg.rec.decode,
+            beam_candidates=cfg.rec.beam_candidates,
         )
 
     def _cls_params(self):
@@ -470,9 +500,19 @@ class FusedOCR:
         return jax.device_put(batch, s), jax.device_put(content_hw, s)
 
     def _words_from_outputs(self, out, b, ratio_h, ratio_w, src_w, src_h):
-        from ..ops.ctc import ctc_greedy_collapse
+        if getattr(self, "decode", "greedy") == "beam":
+            from ..ops.ctc import ctc_beam_search
 
-        kept, conf = ctc_greedy_collapse(out.ctc_idx[b], out.ctc_prob[b])
+            kept, conf = ctc_beam_search(
+                out.ctc_idx[b],
+                out.ctc_prob[b],
+                out.ctc_blank[b],
+                beam_size=self.beam_size,
+            )
+        else:
+            from ..ops.ctc import ctc_greedy_collapse
+
+            kept, conf = ctc_greedy_collapse(out.ctc_idx[b], out.ctc_prob[b])
         words = []
         # Emission order: the reference worker never sorts
         # (ocr_worker.cpp:285-301) — words come out in cv2.findContours

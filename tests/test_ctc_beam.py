@@ -146,3 +146,56 @@ class TestEngineBeamDecode:
         exact = sum(d == t for d, t in zip(beam_texts, texts))
         assert exact >= 3, list(zip(texts, beam_texts, beam_confs))
         assert all(0.0 < c <= 1.0 for d, c in zip(beam_texts, beam_confs) if d)
+
+
+class TestFusedBeamDecode:
+    def test_fused_beam_matches_fused_greedy_on_trained_scene(
+        self, tmp_path, reference_models
+    ):
+        """Fused path with decode='beam': the device ships the pruned
+        lattice (+ blank probs) and the host beam search reads the same
+        texts greedy does on well-trained digit scenes."""
+        from test_e2e_trained import DET_W, REC_W, _cfg
+
+        from ppocr_tpu.pipeline import OCREngine
+        from ppocr_tpu.train.synthetic import SyntheticSceneDataset
+
+        if not (DET_W.exists() and REC_W.exists()):
+            pytest.skip("bundled trained weights not present")
+
+        import shutil
+
+        md = tmp_path / "models"
+        for name in ("det", "cls", "rec"):
+            (md / name).mkdir(parents=True)
+            shutil.copy(
+                reference_models / name / "inference.pdmodel",
+                md / name / "inference.pdmodel",
+            )
+        shutil.copy(
+            reference_models / "rec" / "ppocr_keys_v1.txt",
+            md / "rec" / "ppocr_keys_v1.txt",
+        )
+        shutil.copy(DET_W, md / "det" / "weights.npz")
+        shutil.copy(REC_W, md / "rec" / "weights.npz")
+
+        ds = SyntheticSceneDataset(seed=99)
+        scene, placed = ds.sample_scene()
+
+        def run(decode):
+            cfg = _cfg(fast_path=True, fused_max_boxes=8)
+            cfg.det.shape_buckets = (96,)
+            cfg.rec.decode = decode
+            eng = OCREngine(str(md), cfg)
+            fused = eng.fused_ocr()
+            assert fused.decode == decode
+            r = fused.process(scene, 1)
+            assert r["success"]
+            return [(w["text"], w["box"]) for w in r["words"]]
+
+        greedy = run("greedy")
+        beam = run("beam")
+        assert [t for t, _ in greedy] == [t for t, _ in beam]
+        assert [b for _, b in greedy] == [b for _, b in beam]
+        gt = sorted(t for t, _ in placed)
+        assert sorted(t for t, _ in beam) == gt
