@@ -80,6 +80,13 @@ def build_parser() -> argparse.ArgumentParser:
         "lower = less padded rec compute per request",
     )
     p.add_argument(
+        "--rotated-boxes",
+        action="store_true",
+        help="fast-path only: emit principal-axis rotated rect quads "
+        "(closed-form minAreaRect approximation on device) instead of "
+        "axis-aligned boxes",
+    )
+    p.add_argument(
         "--mesh",
         type=int,
         default=1,
@@ -121,6 +128,7 @@ async def _amain(args) -> int:
         )
     if args.max_boxes:
         config.fused_max_boxes = args.max_boxes
+    config.fused_rotated_boxes = bool(args.rotated_boxes)
     config.rec.decode = args.rec_decode
     config.rec.beam_size = args.beam_size
     if args.batch_requests > 1 and config.fast_path:

@@ -45,6 +45,7 @@ class CrossChipFusedOCR:
         self.with_cls = bool(cfg.enable_cls and engine.cls_params is not None)
         self.decode = cfg.rec.decode
         self.beam_size = cfg.rec.beam_size
+        self.rotated = bool(getattr(cfg, "fused_rotated_boxes", False))
         prep, rec = build_fused_parts(
             cfg.det.thresh,
             cfg.det.box_thresh,
@@ -58,6 +59,7 @@ class CrossChipFusedOCR:
             else None,
             decode=cfg.rec.decode,
             beam_candidates=cfg.rec.beam_candidates,
+            rotated=self.rotated,
         )
         self._prep = jax.jit(prep)
         self._rec = jax.jit(rec)
@@ -79,13 +81,13 @@ class CrossChipFusedOCR:
         lazy (boxes, valid, score, roots, idx, val) device futures."""
         img = jax.device_put(canvas, self.det_device)
         chw = jax.device_put(content_hw, self.det_device)
-        crops_n, boxes, valid, score, roots, narrow = self._prep(
+        crops_n, boxes, quads, valid, score, roots, narrow = self._prep(
             self.det_params, self.cls_params, img, chw
         )
         crops_b = jax.device_put(crops_n, self.rec_device)  # ★ d2d handoff
         narrow_b = jax.device_put(narrow, self.rec_device)
         idx, val, blank = self._rec(self.rec_params, crops_b, narrow_b)
-        return boxes, valid, score, roots, idx, val, blank
+        return boxes, quads, valid, score, roots, idx, val, blank
 
     def process_stream(
         self, images: Sequence[np.ndarray], request_ids: Sequence[int],
@@ -121,8 +123,8 @@ class CrossChipFusedOCR:
         for rid, (futures, (ratio_h, ratio_w), shape) in zip(
             request_ids, pending
         ):
-            boxes, valid, score, roots, idx, val, blank = jax.device_get(
-                futures
+            boxes, quads, valid, score, roots, idx, val, blank = (
+                jax.device_get(futures)
             )
             t = idx.shape[1]
             out = FusedOutputs(
@@ -135,6 +137,7 @@ class CrossChipFusedOCR:
                 blank.reshape(1, self.max_boxes, t)
                 if blank is not None
                 else None,
+                quads,
             )
             words = self._words(
                 self, out, 0, ratio_h, ratio_w, shape[1], shape[0]

@@ -71,6 +71,11 @@ class PipelineConfig:
     request_batch_buckets: Tuple[int, ...] = (1,)
     # fused path: top-K blob candidates per image (rec runs B·K crops)
     fused_max_boxes: int = 32
+    # fused path: emit principal-axis rotated rect quads (closed-form
+    # minAreaRect approximation on device) instead of axis-aligned boxes;
+    # crops stay the quad's boundingRect — the reference's own crop rule
+    # (ocr_worker.cpp:245-259)
+    fused_rotated_boxes: bool = False
     # crop mode: "bounding" = axis-aligned cv::boundingRect (the worker's
     # actual behavior, ocr_worker.cpp:245-259); "perspective" = the unused
     # GetRotateCropImage path kept as an option (utility.cpp:137-190)

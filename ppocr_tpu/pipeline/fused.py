@@ -58,6 +58,9 @@ class FusedOutputs(NamedTuple):
     # raster-first pixel; descending root order == cv2.findContours
     # emission order (reverse raster), the staged/reference word order
     ctc_blank: jnp.ndarray = None  # [K, T] f32 blank prob (beam decode only)
+    quads: jnp.ndarray = None  # [K, 4, 2] int32 corner quads (TL,TR,BR,BL
+    # before host reordering) — rotated rects in rotated-box mode, the axis
+    # box corners otherwise
 
 
 def _connected_components(fg: jnp.ndarray, max_iters: int | None = None) -> jnp.ndarray:
@@ -125,10 +128,20 @@ def _connected_components(fg: jnp.ndarray, max_iters: int | None = None) -> jnp.
     return labels
 
 
-def _blob_stats(labels: jnp.ndarray, prob: jnp.ndarray, max_boxes: int):
+def _blob_stats(
+    labels: jnp.ndarray, prob: jnp.ndarray, max_boxes: int, rotated: bool = False
+):
     """Per-blob area/bbox/score: one scatter (area histogram) + top-K, then
     bbox/score via masked reductions over just the K selected blobs —
-    measured ~2× cheaper than scattering all six statistics per pixel."""
+    measured ~2× cheaper than scattering all six statistics per pixel.
+
+    With ``rotated=True`` also computes each blob's principal-axis oriented
+    rect (PCA over pixel coordinates: orientation from the second central
+    moments — the closed-form stand-in for cv2.minAreaRect's rotating
+    calipers; exact for rectangular blobs, approximate for ragged ones) as
+    (theta, u0, u1, v0, v1) where (u, v) are coordinates in the rotated
+    frame: u = x·cosθ + y·sinθ, v = −x·sinθ + y·cosθ.
+    """
     h, w = labels.shape
     n = h * w
     flat = labels.reshape(-1)
@@ -148,7 +161,7 @@ def _blob_stats(labels: jnp.ndarray, prob: jnp.ndarray, max_boxes: int):
     y1 = jnp.max(jnp.where(member, ys, -big), axis=(1, 2))
     psum = jnp.sum(jnp.where(member, prob[None], 0.0), axis=(1, 2))
 
-    return {
+    stats = {
         "area": top_area,
         "score": psum / jnp.maximum(top_area, 1.0),
         "x0": x0,
@@ -157,6 +170,33 @@ def _blob_stats(labels: jnp.ndarray, prob: jnp.ndarray, max_boxes: int):
         "y1": y1,
         "root": top_idx.astype(jnp.int32),
     }
+    if not rotated:
+        return stats
+
+    a = jnp.maximum(top_area, 1.0)
+    mf = member.astype(jnp.float32)
+    sx = jnp.sum(mf * xs, axis=(1, 2))
+    sy = jnp.sum(mf * ys, axis=(1, 2))
+    sxx = jnp.sum(mf * xs * xs, axis=(1, 2))
+    syy = jnp.sum(mf * ys * ys, axis=(1, 2))
+    sxy = jnp.sum(mf * xs * ys, axis=(1, 2))
+    mx, my = sx / a, sy / a
+    cxx = sxx / a - mx * mx
+    cyy = syy / a - my * my
+    cxy = sxy / a - mx * my
+    theta = 0.5 * jnp.arctan2(2.0 * cxy, cxx - cyy)
+    c = jnp.cos(theta)[:, None, None]
+    s = jnp.sin(theta)[:, None, None]
+    u = xs * c + ys * s
+    v = -xs * s + ys * c
+    # half-pixel support of a unit pixel square along each rotated axis
+    m_u = (jnp.abs(c) + jnp.abs(s))[:, 0, 0] * 0.5
+    u0 = jnp.min(jnp.where(member, u, big), axis=(1, 2)) - m_u
+    u1 = jnp.max(jnp.where(member, u, -big), axis=(1, 2)) + m_u
+    v0 = jnp.min(jnp.where(member, v, big), axis=(1, 2)) - m_u
+    v1 = jnp.max(jnp.where(member, v, -big), axis=(1, 2)) + m_u
+    stats.update({"theta": theta, "u0": u0, "u1": u1, "v0": v0, "v1": v1})
+    return stats
 
 
 def _crop_resize_bilinear(
@@ -215,6 +255,7 @@ def build_fused_parts(
     cls_shape=None,
     decode: str = "greedy",
     beam_candidates: int = 5,
+    rotated: bool = False,
 ):
     """The fused pipeline split at its natural cross-chip boundary:
 
@@ -247,16 +288,20 @@ def build_fused_parts(
         )
         fg = fg & in_content
         labels = _connected_components(fg)
-        stats = _blob_stats(labels, prob, max_boxes)
+        stats = _blob_stats(labels, prob, max_boxes, rotated=rotated)
 
-        bw = stats["x1"] - stats["x0"] + 1.0
-        bh = stats["y1"] - stats["y0"] + 1.0
+        if rotated:
+            # principal-axis oriented rect (closed-form minAreaRect
+            # approximation — see _blob_stats) in the (u, v) rotated frame
+            bw = stats["u1"] - stats["u0"]
+            bh = stats["v1"] - stats["v0"]
+        else:
+            bw = stats["x1"] - stats["x0"] + 1.0
+            bh = stats["y1"] - stats["y0"] + 1.0
         ssid = jnp.maximum(bw, bh)
         # unclip: expand by d = area_box·ratio / perimeter of the box
         d = (bw * bh) * unclip_ratio / jnp.maximum(2.0 * (bw + bh), 1.0)
-        ex0, ex1 = stats["x0"] - d, stats["x1"] + d
-        ey0, ey1 = stats["y0"] - d, stats["y1"] + d
-        ebw, ebh = ex1 - ex0 + 1.0, ey1 - ey0 + 1.0
+        ebw, ebh = bw + 2.0 * d, bh + 2.0 * d
 
         valid = (
             (stats["area"] > 2)
@@ -266,13 +311,42 @@ def build_fused_parts(
             & (ebw > 4)
             & (ebh > 4)
         )
-        # clamp to the content extent, not the padded canvas (the staged
-        # path's postprocess clamps to the prob[:rh,:rw] crop)
-        cx0 = jnp.clip(ex0, 0.0, rw.astype(jnp.float32) - 1.0)
-        cx1 = jnp.clip(ex1, 0.0, rw.astype(jnp.float32) - 1.0)
-        cy0 = jnp.clip(ey0, 0.0, rh.astype(jnp.float32) - 1.0)
-        cy1 = jnp.clip(ey1, 0.0, rh.astype(jnp.float32) - 1.0)
-        return cx0, cy0, cx1, cy1, valid, stats["score"], stats["root"]
+        rwf = rw.astype(jnp.float32) - 1.0
+        rhf = rh.astype(jnp.float32) - 1.0
+        if rotated:
+            u0, u1 = stats["u0"] - d, stats["u1"] + d
+            v0, v1 = stats["v0"] - d, stats["v1"] + d
+            c, s = jnp.cos(stats["theta"]), jnp.sin(stats["theta"])
+            # corners (u,v) → image coords, clamped to the content extent
+            us = jnp.stack([u0, u1, u1, u0], axis=1)  # [K, 4]
+            vs = jnp.stack([v0, v0, v1, v1], axis=1)
+            qx = jnp.clip(us * c[:, None] - vs * s[:, None], 0.0, rwf)
+            qy = jnp.clip(us * s[:, None] + vs * c[:, None], 0.0, rhf)
+            quad = jnp.stack([qx, qy], axis=2)  # [K, 4, 2]
+            # crop bounds = axis-aligned bbox of the (clamped) quad — the
+            # reference's own crop is cv::boundingRect of the rotated quad
+            # (ocr_worker.cpp:245-259)
+            cx0, cx1 = jnp.min(qx, axis=1), jnp.max(qx, axis=1)
+            cy0, cy1 = jnp.min(qy, axis=1), jnp.max(qy, axis=1)
+        else:
+            ex0, ex1 = stats["x0"] - d, stats["x1"] + d
+            ey0, ey1 = stats["y0"] - d, stats["y1"] + d
+            # clamp to the content extent, not the padded canvas (the
+            # staged path's postprocess clamps to the prob[:rh,:rw] crop)
+            cx0 = jnp.clip(ex0, 0.0, rwf)
+            cx1 = jnp.clip(ex1, 0.0, rwf)
+            cy0 = jnp.clip(ey0, 0.0, rhf)
+            cy1 = jnp.clip(ey1, 0.0, rhf)
+            quad = jnp.stack(
+                [
+                    jnp.stack([cx0, cy0], 1),
+                    jnp.stack([cx1, cy0], 1),
+                    jnp.stack([cx1, cy1], 1),
+                    jnp.stack([cx0, cy1], 1),
+                ],
+                axis=1,
+            )  # [K, 4, 2] — the axis box's corners
+        return quad, cx0, cy0, cx1, cy1, valid, stats["score"], stats["root"]
 
     def sample_crops(img, cx0, cy0, cx1, cy1, content_w, out_h, out_w, rot180):
         return jax.vmap(
@@ -293,9 +367,9 @@ def build_fused_parts(
         )
         prob = det_forward(det_params, x.astype(dtype)).astype(jnp.float32)
 
-        cx0, cy0, cx1, cy1, valid, score, roots = jax.vmap(geometry)(
+        quads, cx0, cy0, cx1, cy1, valid, score, roots = jax.vmap(geometry)(
             prob, content_hw
-        )  # [B, K]
+        )  # [B, K, 4, 2] + [B, K] stats
 
         ar = (cx1 - cx0 + 1.0) / jnp.maximum(cy1 - cy0 + 1.0, 1.0)
         content_w = jnp.minimum(jnp.ceil(rec_img_h * ar), float(rec_img_w))
@@ -341,12 +415,13 @@ def build_fused_parts(
             [jnp.round(cx0), jnp.round(cy0), jnp.round(cx1), jnp.round(cy1)],
             axis=2,
         ).astype(jnp.int32)
+        quads_i = jnp.round(quads).astype(jnp.int32)  # [B, K, 4, 2]
         # narrow fast path flag: every VALID crop's content fits in the
         # half-width slice → rec runs at rec_img_w/2, exactly the width the
         # staged path's bucket picker would choose (engine.recognize)
         content_valid = jnp.where(valid, content_w, 0.0)
         narrow = jnp.max(content_valid) <= float(rec_img_w // 2)
-        return crops_n.astype(dtype), boxes, valid, score, roots, narrow
+        return crops_n.astype(dtype), boxes, quads_i, valid, score, roots, narrow
 
     def _decode_outputs(probs, t_full):
         """probs [N, T, V] → CTC decode operands, tail-padded to t_full with
@@ -403,6 +478,7 @@ def build_fused_step(
     cls_shape=None,
     decode: str = "greedy",
     beam_candidates: int = 5,
+    rotated: bool = False,
 ):
     """Returns jitted ``step(det_params, rec_params, cls_params,
     img_u8[B,H,W,3], content_hw[B,2]) -> FusedOutputs`` (compiled per padded
@@ -423,11 +499,12 @@ def build_fused_step(
         cls_shape=cls_shape,
         decode=decode,
         beam_candidates=beam_candidates,
+        rotated=rotated,
     )
 
     @jax.jit
     def step(det_params, rec_params, cls_params, img_u8, content_hw) -> FusedOutputs:
-        crops_n, boxes, valid, score, roots, narrow = prep(
+        crops_n, boxes, quads, valid, score, roots, narrow = prep(
             det_params, cls_params, img_u8, content_hw
         )
         idx, val, blank = rec(rec_params, crops_n, narrow)
@@ -441,6 +518,7 @@ def build_fused_step(
             val.reshape((nb, max_boxes) + val.shape[1:]),
             roots,
             blank.reshape(nb, max_boxes, t) if blank is not None else None,
+            quads,
         )
 
     return step
@@ -458,6 +536,7 @@ class FusedOCR:
         self.with_cls = bool(cfg.enable_cls and engine.cls_params is not None)
         self.decode = cfg.rec.decode
         self.beam_size = cfg.rec.beam_size
+        self.rotated = bool(getattr(cfg, "fused_rotated_boxes", False))
         self._step = build_fused_step(
             cfg.det.thresh,
             cfg.det.box_thresh,
@@ -471,6 +550,7 @@ class FusedOCR:
             else None,
             decode=cfg.rec.decode,
             beam_candidates=cfg.rec.beam_candidates,
+            rotated=self.rotated,
         )
 
     def _cls_params(self):
@@ -522,21 +602,35 @@ class FusedOCR:
         order = sorted(
             range(self.max_boxes), key=lambda i: -int(out.roots[b, i])
         )
+        rotated = getattr(self, "rotated", False) and out.quads is not None
         for i in order:
             if not out.valid[b, i] or np.isnan(conf[i]):
                 continue
-            x0, y0, x1, y1 = out.boxes[b, i]
-            # rescale det-image coords → source coords (truncating like
-            # FilterTagDetRes)
-            sx0 = int(np.clip(int(x0 / ratio_w), 0, src_w - 1))
-            sx1 = int(np.clip(int(x1 / ratio_w), 0, src_w - 1))
-            sy0 = int(np.clip(int(y0 / ratio_h), 0, src_h - 1))
-            sy1 = int(np.clip(int(y1 / ratio_h), 0, src_h - 1))
+            if rotated:
+                # rescale each rotated-quad corner (truncating like
+                # FilterTagDetRes) and canonicalize the corner order
+                from ..ops.db_postprocess import order_points_clockwise
+
+                q = out.quads[b, i].astype(np.int64)
+                sx = np.clip((q[:, 0] / ratio_w).astype(np.int64), 0, src_w - 1)
+                sy = np.clip((q[:, 1] / ratio_h).astype(np.int64), 0, src_h - 1)
+                box = order_points_clockwise(
+                    np.stack([sx, sy], axis=1)
+                ).tolist()
+            else:
+                x0, y0, x1, y1 = out.boxes[b, i]
+                # rescale det-image coords → source coords (truncating like
+                # FilterTagDetRes)
+                sx0 = int(np.clip(int(x0 / ratio_w), 0, src_w - 1))
+                sx1 = int(np.clip(int(x1 / ratio_w), 0, src_w - 1))
+                sy0 = int(np.clip(int(y0 / ratio_h), 0, src_h - 1))
+                sy1 = int(np.clip(int(y1 / ratio_h), 0, src_h - 1))
+                box = [[sx0, sy0], [sx1, sy0], [sx1, sy1], [sx0, sy1]]
             words.append(
                 {
                     "text": "".join(self.engine.charset[k] for k in kept[i]),
                     "confidence": float(conf[i]),
-                    "box": [[sx0, sy0], [sx1, sy0], [sx1, sy1], [sx0, sy1]],
+                    "box": [[int(x), int(y)] for x, y in box],
                 }
             )
         return words
