@@ -418,6 +418,29 @@ class OCREngine:
             )
         return self._fused_ocr
 
+    # -- recovery ----------------------------------------------------------
+
+    def reload(self, warmup: bool = False) -> None:
+        """Rebuild device state after a (transient) device failure: re-place
+        params with fresh transfers, rebuild the jitted steps, drop the
+        fused wrapper and the compiled-shape ledger (SURVEY.md §5: the
+        reference has no worker recovery at all — a dead predictor stays
+        dead until process restart).
+
+        MUST be called from the main thread when ``warmup`` is true or any
+        later compile may result: the TPU tunnel deadlocks on non-main-
+        thread compiles. The serving dispatchers call this on the asyncio
+        event loop (= main thread) with ``warmup=True`` so worker threads
+        only ever execute cached shapes afterwards.
+        """
+        self._load_params()
+        self._build_steps()
+        if hasattr(self, "_fused_ocr"):
+            del self._fused_ocr
+        self._compiled_det_shapes = set()
+        if warmup:
+            self.warmup()
+
     # -- tracing -----------------------------------------------------------
 
     def profile_trace(self, logdir: str):

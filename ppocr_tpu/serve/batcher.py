@@ -20,9 +20,10 @@ from typing import Optional
 import numpy as np
 
 from ..pipeline import OCREngine
+from .executor import EngineRecoveryMixin, is_device_loss
 
 
-class BatchingDispatcher:
+class BatchingDispatcher(EngineRecoveryMixin):
     """Async facade matching serve.executor.Dispatcher's submit() API."""
 
     def __init__(
@@ -45,6 +46,7 @@ class BatchingDispatcher:
         self.requests = 0
         self.errors = 0
         self.consumer_restarts = 0
+        self._init_recovery()
 
     async def submit(self, image: Optional[np.ndarray], request_id: int) -> dict:
         if image is None or image.size == 0:
@@ -111,6 +113,13 @@ class BatchingDispatcher:
                 for _, rid, fut in items:
                     if not fut.done():
                         fut.set_result({**err, "request_id": int(rid)})
+                if is_device_loss(str(e)):
+                    # reload on the event loop (main thread) so later
+                    # batches hit a healthy, re-warmed engine
+                    await self._recover_engine()
+
+    def _after_engine_reload(self):
+        self.fused = self.engine.fused_ocr()
 
     def worker_stats(self):
         return [

@@ -21,8 +21,63 @@ import numpy as np
 
 from ..pipeline import OCREngine, OCRWorker
 
+# error-text markers of a lost/wedged device (XLA runtime / PJRT / tunnel
+# transport failures) — triggers an engine reload + one retry
+DEVICE_LOSS_MARKERS = (
+    "device_unavailable",
+    "device unavailable",
+    "device lost",
+    "data_loss",
+    "failed to enqueue",
+    "socket closed",
+    "connection reset",
+    "internal: stream",
+)
 
-class Dispatcher:
+
+def is_device_loss(error: str) -> bool:
+    e = (error or "").lower()
+    return any(m in e for m in DEVICE_LOSS_MARKERS)
+
+
+class EngineRecoveryMixin:
+    """Device-loss recovery shared by the dispatchers: reload the engine on
+    the asyncio event loop (= main thread, where compiles are tunnel-safe),
+    at most once per cooldown window."""
+
+    _recover_cooldown = 5.0
+
+    def _init_recovery(self):
+        import asyncio
+
+        self.engine_reloads = 0
+        self._reload_lock = asyncio.Lock()
+        self._last_reload = 0.0
+
+    async def _recover_engine(self) -> bool:
+        """Returns True when a reload actually ran."""
+        import time
+
+        async with self._reload_lock:
+            now = time.monotonic()
+            if now - self._last_reload < self._recover_cooldown and (
+                self.engine_reloads > 0
+            ):
+                return False
+            reload_fn = getattr(self.engine, "reload", None)
+            if reload_fn is None:
+                return False
+            reload_fn(warmup=True)  # event loop == main thread: compiles OK
+            self._last_reload = time.monotonic()
+            self.engine_reloads += 1
+            self._after_engine_reload()
+            return True
+
+    def _after_engine_reload(self):  # pragma: no cover - overridden
+        pass
+
+
+class Dispatcher(EngineRecoveryMixin):
     """Async facade over a pool of logical OCR workers."""
 
     def __init__(self, engine: OCREngine, num_workers: int = 1):
@@ -40,6 +95,15 @@ class Dispatcher:
         # worker health beyond a global request count)
         self._requests: List[int] = [0] * num_workers
         self._errors: List[int] = [0] * num_workers
+        self._init_recovery()
+
+    def _after_engine_reload(self):
+        """Workers cache the engine's fused wrapper — rebuild them so they
+        bind the reloaded device state."""
+        self.workers = [
+            OCRWorker(self.engine, worker_id=i)
+            for i in range(len(self.workers))
+        ]
 
     def _pick_worker(self) -> int:
         """First idle worker, else round-robin — the reference's policy
@@ -74,10 +138,21 @@ class Dispatcher:
         self, image: Optional[np.ndarray], request_id: int
     ) -> dict:
         """Submit a request; resolves with the worker's response dict
-        (the promise/future rendezvous of cpu_worker_pool.cpp:34-41)."""
+        (the promise/future rendezvous of cpu_worker_pool.cpp:34-41).
+        A device-loss error triggers an engine reload (main-thread warmup)
+        and ONE retry — the recovery the reference lacks (SURVEY §5)."""
         loop = asyncio.get_running_loop()
         idx = self._pick_worker()
-        return await loop.run_in_executor(self._pool, self._run, idx, image, request_id)
+        result = await loop.run_in_executor(
+            self._pool, self._run, idx, image, request_id
+        )
+        if not result.get("success") and is_device_loss(result.get("error")):
+            if await self._recover_engine():
+                idx = self._pick_worker()
+                result = await loop.run_in_executor(
+                    self._pool, self._run, idx, image, request_id
+                )
+        return result
 
     def shutdown(self):
         self._pool.shutdown(wait=True)

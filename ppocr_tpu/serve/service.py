@@ -124,6 +124,7 @@ class OCRIPCService:
                 # beyond-reference observability (SURVEY.md §5 gap):
                 "failed_requests": self.failed_requests,
                 "timed_out_requests": self.timed_out_requests,
+                "engine_reloads": getattr(self.dispatcher, "engine_reloads", 0),
                 "workers": self.dispatcher.worker_stats(),
             },
             separators=(",", ":"),

@@ -172,3 +172,126 @@ class TestRequestTimeout:
         r = asyncio.run(run())
         assert r["success"] is False
         assert svc.failed_requests == 1 and svc.timed_out_requests == 0
+
+
+class TestDeviceLossRecovery:
+    """Engine reload + retry on device-loss errors (the recovery the
+    reference lacks — SURVEY §5 'no worker restart')."""
+
+    class LossyEngine:
+        """Stub engine: every request fails with a device-loss error until
+        reload() is called; healthy afterwards."""
+
+        def __init__(self):
+            self.config = PipelineConfig()
+            self.config.fast_path = False
+            self.random_weights = {}
+            self.healthy = False
+            self.reload_calls = 0
+
+        def reload(self, warmup=False):
+            self.reload_calls += 1
+            self.warmed = warmup
+            self.healthy = True
+
+    def _patched_dispatcher(self, eng):
+        disp = Dispatcher.__new__(Dispatcher)
+        import itertools
+        import threading
+        from concurrent.futures import ThreadPoolExecutor
+
+        class StubWorker:
+            def __init__(self, engine, worker_id=0):
+                self.engine = engine
+                self.worker_id = worker_id
+
+            def process(self, image, request_id):
+                if not self.engine.healthy:
+                    return {
+                        "request_id": request_id,
+                        "success": False,
+                        "error": "INTERNAL: stream closed: DEVICE_UNAVAILABLE",
+                    }
+                return {"request_id": request_id, "success": True, "words": []}
+
+        disp.engine = eng
+        disp.workers = [StubWorker(eng, 0)]
+        disp._idle = [True]
+        disp._lock = threading.Lock()
+        disp._rr = itertools.count()
+        disp._pool = ThreadPoolExecutor(max_workers=1)
+        disp._requests = [0]
+        disp._errors = [0]
+        disp._init_recovery()
+        disp._after_engine_reload = lambda: disp.workers.__setitem__(
+            0, StubWorker(eng, 0)
+        )
+        return disp
+
+    def test_device_loss_reloads_and_retries(self):
+        from ppocr_tpu.serve.executor import is_device_loss
+
+        assert is_device_loss("INTERNAL: stream closed: DEVICE_UNAVAILABLE")
+        assert is_device_loss("Socket closed by peer")
+        assert not is_device_loss("Empty image data provided")
+        assert not is_device_loss(None)
+
+        eng = self.LossyEngine()
+        disp = self._patched_dispatcher(eng)
+
+        async def run():
+            return await disp.submit(IMG, 7)
+
+        result = asyncio.run(run())
+        assert result["success"] is True, result
+        assert eng.reload_calls == 1
+        assert eng.warmed is True  # recovery warms up on the main thread
+        assert disp.engine_reloads == 1
+        disp.shutdown()
+
+    def test_reload_throttled_within_cooldown(self):
+        eng = self.LossyEngine()
+        disp = self._patched_dispatcher(eng)
+
+        async def run():
+            r1 = await disp.submit(IMG, 1)
+            eng.healthy = False  # device dies again immediately
+            r2 = await disp.submit(IMG, 2)
+            return r1, r2
+
+        r1, r2 = asyncio.run(run())
+        assert r1["success"] is True
+        # second loss within the cooldown: no second reload, error surfaces
+        assert r2["success"] is False
+        assert eng.reload_calls == 1
+        disp.shutdown()
+
+    def test_batching_dispatcher_reloads_on_device_loss(self):
+        eng = FakeEngine(fast_path=True)
+        eng.healthy = True
+        eng.reload_calls = 0
+
+        def reload(warmup=False):
+            eng.reload_calls += 1
+            eng._fused = FakeFused()  # fresh fused wrapper post-reload
+
+        eng.reload = reload
+        disp = BatchingDispatcher(eng, num_workers=1, max_wait_ms=5)
+        old_fused = eng._fused
+
+        def explode(images, request_ids, worker_id=0, batch_buckets=None):
+            raise RuntimeError("transport: socket closed")
+
+        old_fused.process_batch = explode
+
+        async def run():
+            first = await disp.submit(IMG, 1)
+            second = await disp.submit(IMG, 2)
+            return first, second
+
+        first, second = asyncio.run(run())
+        assert first["success"] is False
+        assert eng.reload_calls == 1
+        assert disp.fused is not old_fused  # rebound to the reloaded engine
+        assert second["success"] is True, second
+        disp.shutdown()
