@@ -52,6 +52,12 @@ class SyntheticSceneDataset:
     postprocess time (postprocess_op.cpp:39-72).
     """
 
+    FONTS = (
+        cv2.FONT_HERSHEY_SIMPLEX,
+        cv2.FONT_HERSHEY_DUPLEX,
+        cv2.FONT_HERSHEY_COMPLEX,
+    )
+
     def __init__(
         self,
         alphabet: str = "0123456789",
@@ -61,6 +67,7 @@ class SyntheticSceneDataset:
         min_len: int = 2,
         max_len: int = 5,
         shrink_ratio: float = 0.4,
+        fonts: Sequence[int] | None = None,
         seed: int = 0,
     ):
         self.alphabet = alphabet
@@ -70,6 +77,7 @@ class SyntheticSceneDataset:
         self.min_len = min_len
         self.max_len = max_len
         self.shrink_ratio = shrink_ratio
+        self.fonts = tuple(fonts) if fonts is not None else self.FONTS
         self.rng = np.random.default_rng(seed)
 
     def sample_scene(
@@ -89,9 +97,8 @@ class SyntheticSceneDataset:
             text = "".join(self.rng.choice(list(self.alphabet), size=n))
             scale = float(self.rng.uniform(0.9, 1.3))
             thickness = 2
-            (tw, th), base = cv2.getTextSize(
-                text, cv2.FONT_HERSHEY_SIMPLEX, scale, thickness
-            )
+            font = int(self.fonts[int(self.rng.integers(len(self.fonts)))])
+            (tw, th), base = cv2.getTextSize(text, font, scale, thickness)
             if tw + 8 >= w or th + 8 >= h:
                 continue
             for _attempt in range(12):
@@ -113,7 +120,7 @@ class SyntheticSceneDataset:
                         img,
                         text,
                         (x0, y0 + th),
-                        cv2.FONT_HERSHEY_SIMPLEX,
+                        font,
                         scale,
                         (0, 0, 0),
                         thickness,
