@@ -80,6 +80,12 @@ def build_parser() -> argparse.ArgumentParser:
         "lower = less padded rec compute per request",
     )
     p.add_argument(
+        "--cross-chip",
+        action="store_true",
+        help="fast-path only: stage det/geometry on device 0 and rec on "
+        "device 1 with a device-to-device crops handoff (needs >= 2 chips)",
+    )
+    p.add_argument(
         "--rotated-boxes",
         action="store_true",
         help="fast-path only: emit principal-axis rotated rect quads "
@@ -129,6 +135,10 @@ async def _amain(args) -> int:
     if args.max_boxes:
         config.fused_max_boxes = args.max_boxes
     config.fused_rotated_boxes = bool(args.rotated_boxes)
+    config.cross_chip = bool(args.cross_chip)
+    if config.cross_chip and not config.fast_path:
+        print("--cross-chip requires --fast-path", flush=True)
+        return 2
     config.rec.decode = args.rec_decode
     config.rec.beam_size = args.beam_size
     if args.batch_requests > 1 and config.fast_path:

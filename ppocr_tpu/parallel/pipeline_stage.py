@@ -155,8 +155,12 @@ class CrossChipFusedOCR:
             )
         return results
 
-    def process(self, image_bgr: np.ndarray, request_id: int = 0) -> Dict:
-        return self.process_stream([image_bgr], [request_id])[0]
+    def process(
+        self, image_bgr: np.ndarray, request_id: int = 0, worker_id: int = 0
+    ) -> Dict:
+        return self.process_stream(
+            [image_bgr], [request_id], worker_id=worker_id
+        )[0]
 
     def warmup(self):
         """Main-thread precompile of both stages for every det bucket."""

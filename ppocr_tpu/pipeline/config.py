@@ -76,6 +76,10 @@ class PipelineConfig:
     # crops stay the quad's boundingRect — the reference's own crop rule
     # (ocr_worker.cpp:245-259)
     fused_rotated_boxes: bool = False
+    # fast-path cross-chip pipeline staging: det/geometry on device 0, rec
+    # on device 1 with a d2d crops handoff (parallel.CrossChipFusedOCR);
+    # needs >= 2 visible devices
+    cross_chip: bool = False
     # crop mode: "bounding" = axis-aligned cv::boundingRect (the worker's
     # actual behavior, ocr_worker.cpp:245-259); "perspective" = the unused
     # GetRotateCropImage path kept as an option (utility.cpp:137-190)

@@ -418,6 +418,25 @@ class OCREngine:
             )
         return self._fused_ocr
 
+    def cross_chip_ocr(self):
+        """Lazy engine-owned CrossChipFusedOCR: det/geometry on device 0,
+        rec on device 1 (SURVEY §2.4 pipeline-parallel row, servable via
+        PipelineConfig.cross_chip / ocr-service --cross-chip)."""
+        if not hasattr(self, "_cross_chip_ocr"):
+            from ..parallel.pipeline_stage import CrossChipFusedOCR
+
+            devs = (
+                list(self.mesh.devices.flat)
+                if self.mesh is not None
+                else jax.devices()
+            )
+            if len(devs) < 2:
+                raise RuntimeError(
+                    "cross_chip staging needs >= 2 visible devices"
+                )
+            self._cross_chip_ocr = CrossChipFusedOCR(self, devs[0], devs[1])
+        return self._cross_chip_ocr
+
     # -- recovery ----------------------------------------------------------
 
     def reload(self, warmup: bool = False) -> None:
@@ -435,8 +454,9 @@ class OCREngine:
         """
         self._load_params()
         self._build_steps()
-        if hasattr(self, "_fused_ocr"):
-            del self._fused_ocr
+        for cached in ("_fused_ocr", "_cross_chip_ocr"):
+            if hasattr(self, cached):
+                delattr(self, cached)
         self._compiled_det_shapes = set()
         if warmup:
             self.warmup()
@@ -475,7 +495,10 @@ class OCREngine:
             else:
                 det_shapes = [(192, 384)]
         if self.config.fast_path:
-            self.fused_ocr().warmup()
+            if getattr(self.config, "cross_chip", False):
+                self.cross_chip_ocr().warmup()
+            else:
+                self.fused_ocr().warmup()
         for h, w in det_shapes:
             np.asarray(self._det_step(self.det_params, np.zeros((1, h, w, 3), np.uint8)))
             self._compiled_det_shapes.add((h, w))

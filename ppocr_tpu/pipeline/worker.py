@@ -41,7 +41,14 @@ class OCRWorker:
         self.engine = engine
         self.worker_id = worker_id
         # fused step is engine-owned so all workers share one compiled set
-        self._fused = engine.fused_ocr() if engine.config.fast_path else None
+        if engine.config.fast_path:
+            self._fused = (
+                engine.cross_chip_ocr()
+                if getattr(engine.config, "cross_chip", False)
+                else engine.fused_ocr()
+            )
+        else:
+            self._fused = None
 
     def process(
         self, image_bgr: Optional[np.ndarray], request_id: int

@@ -80,3 +80,27 @@ def test_stream_overlap_dispatches_async(engine):
         [w["text"] for w in staged.process(im, 0)["words"]] for im in imgs
     ]
     assert texts == singles
+
+
+def test_worker_routes_to_cross_chip(reference_models):
+    """PipelineConfig.cross_chip: OCRWorker serves through the two-stage
+    cross-chip pipeline and matches the single-chip fused output."""
+    from ppocr_tpu.pipeline import OCRWorker
+
+    cfg = small_config(enable_cls=False, fast_path=True, fused_max_boxes=8)
+    cfg.det.shape_buckets = (96,)
+    cfg.cross_chip = True
+    eng = OCREngine(str(reference_models), cfg)
+    w = OCRWorker(eng, worker_id=2)
+    assert type(w._fused).__name__ == "CrossChipFusedOCR"
+    img = _text_img(4)
+    r = w.process(img, 9)
+    assert r["success"] is True and r["worker_id"] == 2
+
+    cfg2 = small_config(enable_cls=False, fast_path=True, fused_max_boxes=8)
+    cfg2.det.shape_buckets = (96,)
+    base = OCREngine(str(reference_models), cfg2).fused_ocr().process(img, 9)
+    assert [x["text"] for x in r["words"]] == [
+        x["text"] for x in base["words"]
+    ]
+    assert [x["box"] for x in r["words"]] == [x["box"] for x in base["words"]]
