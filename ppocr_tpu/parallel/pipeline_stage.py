@@ -60,6 +60,9 @@ class CrossChipFusedOCR:
             decode=cfg.rec.decode,
             beam_candidates=cfg.rec.beam_candidates,
             rotated=self.rotated,
+            # stages run single-device (committed inputs), so the pallas
+            # kernel is safe whenever the platform is a TPU
+            use_pallas=rec_device.platform in ("tpu", "axon"),
         )
         self._prep = jax.jit(prep)
         self._rec = jax.jit(rec)

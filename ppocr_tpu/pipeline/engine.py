@@ -212,8 +212,15 @@ class OCREngine:
 
     # -- jitted steps ------------------------------------------------------
 
+    def _pallas_ok(self) -> bool:
+        """Use the fused Pallas CTC top-k kernel: single-device TPU paths
+        only (under a GSPMD mesh the jnp reductions shard transparently;
+        pallas_call does not)."""
+        return self.mesh is None and self.device.platform in ("tpu", "axon")
+
     def _build_steps(self):
         dtype = self.dtype
+        use_pallas = self._pallas_ok()
 
         @jax.jit
         def det_step(params, img_u8):
@@ -249,7 +256,7 @@ class OCREngine:
             def rec_step(params, imgs_u8):
                 x = _nhwc_normalize(imgs_u8, HALF_MEAN, HALF_SCALE)
                 probs = rec_forward(params, x.astype(dtype))
-                return ctc_topk_device(probs)
+                return ctc_topk_device(probs, use_pallas=use_pallas)
 
         self._det_step = det_step
         self._cls_step = cls_step

@@ -274,6 +274,7 @@ def build_fused_parts(
     decode: str = "greedy",
     beam_candidates: int = 5,
     rotated: bool = False,
+    use_pallas: bool = False,
 ):
     """The fused pipeline split at its natural cross-chip boundary:
 
@@ -457,7 +458,7 @@ def build_fused_parts(
                 blank, ((0, 0), (0, t_full - t)), constant_values=1.0
             )
             return idx, val, blank
-        idx, val = ctc_topk_device(probs)
+        idx, val = ctc_topk_device(probs, use_pallas=use_pallas)
         idx = jnp.pad(idx, ((0, 0), (0, t_full - t)))  # blank id 0
         val = jnp.pad(val, ((0, 0), (0, t_full - t)), constant_values=1.0)
         return idx, val, None
@@ -497,6 +498,7 @@ def build_fused_step(
     decode: str = "greedy",
     beam_candidates: int = 5,
     rotated: bool = False,
+    use_pallas: bool = False,
 ):
     """Returns jitted ``step(det_params, rec_params, cls_params,
     img_u8[B,H,W,3], content_hw[B,2]) -> FusedOutputs`` (compiled per padded
@@ -518,6 +520,7 @@ def build_fused_step(
         decode=decode,
         beam_candidates=beam_candidates,
         rotated=rotated,
+        use_pallas=use_pallas,
     )
 
     @jax.jit
@@ -569,6 +572,7 @@ class FusedOCR:
             decode=cfg.rec.decode,
             beam_candidates=cfg.rec.beam_candidates,
             rotated=self.rotated,
+            use_pallas=engine._pallas_ok(),
         )
 
     def _cls_params(self):
