@@ -28,6 +28,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--status", action="store_true", help="query service status")
     p.add_argument("--shutdown", action="store_true", help="stop the service")
     p.add_argument("--pretty", action="store_true", help="pretty-print the JSON")
+    p.add_argument(
+        "--visualize",
+        metavar="OUT.png",
+        help="draw the detected word quads on the input image and save "
+        "(Utility::VisualizeBboxes analog, utility.cpp:50-102)",
+    )
     return p
 
 
@@ -57,6 +63,15 @@ def main(argv=None) -> int:
         print(json.dumps(response, ensure_ascii=False, indent=2))
     else:
         print(json.dumps(response, ensure_ascii=False, separators=(",", ":")))
+    if args.visualize and args.image and response.get("success"):
+        import cv2
+
+        from ..utils.visualize import visualize_boxes
+
+        img = cv2.imread(args.image)
+        if img is not None:
+            visualize_boxes(img, response.get("words", []), args.visualize)
+            print(f"visualization written to {args.visualize}", file=sys.stderr)
     return 0 if response.get("success") else 3
 
 

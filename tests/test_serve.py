@@ -165,3 +165,20 @@ class TestShutdown:
         t.join(timeout=10)
         assert not t.is_alive()
         assert svc.running is False
+
+
+def test_client_cli_visualize(service, card_image_path, tmp_path):
+    """ocr-client --visualize writes a box-overlay image next to printing
+    the JSON (Utility::VisualizeBboxes analog)."""
+    import cv2
+
+    from ppocr_tpu.cli.client_main import main as client_main
+
+    out = tmp_path / "vis.png"
+    rc = client_main(
+        [str(card_image_path), "--socket", SOCKET, "--visualize", str(out)]
+    )
+    assert rc == 0
+    vis = cv2.imread(str(out))
+    src = cv2.imread(str(card_image_path))
+    assert vis is not None and vis.shape == src.shape
