@@ -262,12 +262,17 @@ class SceneCropRecDataset:
         scenes: SyntheticSceneDataset,
         img_h: int = 48,
         img_w: int = 160,
+        aug_rotate_deg: float = 0.0,
         seed: int = 1,
     ):
         self.char_to_idx = {c: i for i, c in enumerate(charset)}
         self.scenes = scenes
         self.img_h = img_h
         self.img_w = img_w
+        # uniform ±deg rotation of each crop (white border) — matches the
+        # slightly-rotated documents the det stage happily finds but an
+        # upright-only recognizer cannot read
+        self.aug_rotate_deg = aug_rotate_deg
         self.max_len = scenes.max_len
         self.rng = np.random.default_rng(seed)
 
@@ -284,6 +289,17 @@ class SceneCropRecDataset:
                 crop = self.scenes.crop_with_margin(scene, box)
                 if crop.shape[0] < 4 or crop.shape[1] < 4:
                     continue
+                if self.aug_rotate_deg > 0:
+                    angle = float(
+                        self.rng.uniform(
+                            -self.aug_rotate_deg, self.aug_rotate_deg
+                        )
+                    )
+                    ch, cw = crop.shape[:2]
+                    m = cv2.getRotationMatrix2D((cw / 2, ch / 2), angle, 1.0)
+                    crop = cv2.warpAffine(
+                        crop, m, (cw, ch), borderValue=(255, 255, 255)
+                    )
                 crops.append(
                     crnn_resize(
                         crop,

@@ -30,6 +30,12 @@ def main() -> int:
         "the distribution the det stage feeds rec end to end) instead of "
         "direct line renders",
     )
+    p.add_argument(
+        "--aug-rotate",
+        type=float,
+        default=0.0,
+        help="scene-crops mode: random crop rotation in +-degrees",
+    )
     p.add_argument("--out", default="/tmp/rec_synthetic.npz")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
@@ -64,6 +70,7 @@ def main() -> int:
             SyntheticSceneDataset(seed=7),
             img_h=args.img_h,
             img_w=args.img_w,
+            aug_rotate_deg=args.aug_rotate,
         )
     else:
         ds = SyntheticRecDataset(charset, img_h=args.img_h, img_w=args.img_w)

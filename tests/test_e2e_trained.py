@@ -139,3 +139,31 @@ def test_trained_weights_reject_garbled_regression(trained_model_dir):
     )
     exact, total, _, _ = _score(OCRWorker(eng, 0), n_scenes=3)
     assert exact < total - 2
+
+
+@needs_weights
+def test_rotated_scene_reads_back(trained_model_dir):
+    """Rotation robustness: the det stage finds slightly-rotated lines and
+    the rotation-augmented recognizer reads them — 8° scenes decode
+    exactly (at pinning time 15/15; gate leaves slack of 2)."""
+    import cv2
+
+    eng = OCREngine(str(trained_model_dir), _cfg())
+    worker = OCRWorker(eng, 0)
+    ds = SyntheticSceneDataset(seed=2024)
+    total = exact = 0
+    for s in range(8):
+        scene, placed = ds.sample_scene()
+        h, w = scene.shape[:2]
+        m = cv2.getRotationMatrix2D((w / 2, h / 2), 8.0, 1.0)
+        rot = cv2.warpAffine(scene, m, (w, h), borderValue=(255, 255, 255))
+        r = worker.process(rot, s)
+        assert r["success"] is True
+        got = [x["text"] for x in r["words"]]
+        for t, _ in placed:
+            total += 1
+            if t in got:
+                got.remove(t)
+                exact += 1
+    assert total >= 10
+    assert exact >= total - 2, f"{exact}/{total} exact at 8 deg"
