@@ -80,3 +80,33 @@ def test_mesh_pads_batch_bucket_to_data_axis(reference_models, cfg):
     r = fused.process(_scene(3), 42)  # single request → padded batch of 8
     assert r["success"] is True
     assert r["request_id"] == 42
+
+
+def test_mesh_beam_rotated_combination(reference_models):
+    """Feature interaction guard: beam decode + rotated boxes + data-axis
+    sharding compose — sharded output equals single-device exactly."""
+    def make(mesh):
+        c = small_config(
+            enable_cls=False,
+            fast_path=True,
+            request_batch_buckets=(8,),
+            fused_max_boxes=8,
+        )
+        c.det.shape_buckets = (96,)
+        c.rec.decode = "beam"
+        c.fused_rotated_boxes = True
+        return OCREngine(str(reference_models), c, mesh=mesh)
+
+    single = make(None)
+    sharded = make(make_mesh(8, model=1))
+    imgs = [_scene(i) for i in range(3)]
+    base = single.fused_ocr().process_batch(imgs, [0, 1, 2])
+    got = sharded.fused_ocr().process_batch(imgs, [0, 1, 2])
+    for rb, rg in zip(base, got):
+        assert rb["success"] and rg["success"]
+        assert [w["text"] for w in rb["words"]] == [
+            w["text"] for w in rg["words"]
+        ]
+        assert [w["box"] for w in rb["words"]] == [
+            w["box"] for w in rg["words"]
+        ]
