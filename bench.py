@@ -261,6 +261,9 @@ def main() -> int:
         "extra": {
             "p99_ms": round(p99, 3),
             "fused_onchip_ms": round(onchip_ms, 3),
+            # the BASELINE.md north-star is a per-chip budget; the tunnel
+            # adds ~30 ms/dispatch of environment tax on top of it
+            "onchip_target_met": bool(onchip_ms <= 10.0),
             "staged_parity_p50_ms": round(statistics.median(staged), 3),
             "staged_overlap_images_per_sec": round(staged_qps, 1),
             "rec_crops_per_sec": round(crops_per_sec, 1),
