@@ -14,17 +14,21 @@ Host work shrinks to CTC collapse + JSON assembly (<0.5 ms).
 
 This is the TPU-first redesign of SURVEY.md §7's "hard part": instead of
 porting findContours/minAreaRect/Clipper to a kernel, the fast path uses
-axis-aligned blob boxes — exactly right for the reference's declared
-workload (upright UI/card text; its own worker already crops axis-aligned
-bounding rects, ocr_worker.cpp:245-259). Known deviations from the parity
-pipeline, by design:
+blob geometry computed on device — axis-aligned boxes by default (exactly
+right for the reference's declared workload: upright UI/card text; its own
+worker already crops axis-aligned bounding rects, ocr_worker.cpp:245-259),
+or principal-axis rotated quads with ``fused_rotated_boxes`` (closed-form
+minAreaRect approximation). Known deviations from the parity pipeline, by
+design (docs/PARITY.md):
 
-  * boxes are axis-aligned (no rotated min-area rects);
   * score is the blob mean of the probability map (≈ "slow" mode);
-  * unclip expands the axis-aligned box by area·ratio/perimeter;
-  * rec crops resample the det-scale image (no second upload).
+  * unclip expands the blob rect by area·ratio/perimeter;
+  * rec crops resample the det-scale image (no second upload);
+  * rotated mode: PCA orientation, not rotating calipers (exact for
+    rectangular blobs).
 
-Rotated/irregular text should use the staged parity pipeline
+CTC decode is greedy or prefix-beam (``rec.decode``); exact cv2-contour
+semantics remain available via the staged parity pipeline
 (PipelineConfig(fast_path=False), the default).
 """
 

@@ -94,6 +94,22 @@ def main():
                 f"gt {result['gt_lines']}"
             )
 
+            # fused-path golden on the same scene (single-dispatch pipeline)
+            fcfg = _cfg(fast_path=True, fused_max_boxes=8)
+            fcfg.det.shape_buckets = (96,)
+            fworker = OCRWorker(OCREngine(md, fcfg), worker_id=0)
+            fres = _strip(fworker.process(scene, request_id=7))
+            fres["gt_lines"] = sorted(t for t, _ in placed)
+            fused_path = os.path.join(
+                os.path.dirname(GOLDEN), "scene-trained-fused.json"
+            )
+            with open(fused_path, "w", encoding="utf-8") as f:
+                json.dump(fres, f, ensure_ascii=False, indent=1, sort_keys=True)
+            print(
+                f"wrote {fused_path}: {len(fres['words'])} words, "
+                f"gt {fres['gt_lines']}"
+            )
+
 
 if __name__ == "__main__":
     main()

@@ -96,3 +96,53 @@ def test_trained_scene_matches_golden(reference_models, tmp_path):
         assert got["text"] == want["text"]
         assert got["box"] == want["box"]
         assert abs(got["confidence"] - want["confidence"]) < 2e-3
+
+
+FUSED_GOLDEN = pathlib.Path(__file__).parent / "goldens" / "scene-trained-fused.json"
+
+
+@pytest.mark.skipif(not FUSED_GOLDEN.exists(), reason="golden not generated")
+def test_trained_scene_fused_matches_golden(reference_models, tmp_path):
+    """Fused-path real-text golden: the single-dispatch pipeline reproduces
+    its pinned boxes and the exact gt text on the trained scene."""
+    import shutil
+
+    from test_e2e_trained import DET_W, REC_W, _cfg
+
+    from ppocr_tpu.pipeline import OCREngine, OCRWorker
+    from ppocr_tpu.train.synthetic import SyntheticSceneDataset
+
+    if not (DET_W.exists() and REC_W.exists()):
+        pytest.skip("bundled trained weights not present")
+
+    golden = json.loads(FUSED_GOLDEN.read_text(encoding="utf-8"))
+    md = tmp_path / "m"
+    for name in ("det", "cls", "rec"):
+        (md / name).mkdir(parents=True)
+        shutil.copy(
+            reference_models / name / "inference.pdmodel",
+            md / name / "inference.pdmodel",
+        )
+    shutil.copy(
+        reference_models / "rec" / "ppocr_keys_v1.txt",
+        md / "rec" / "ppocr_keys_v1.txt",
+    )
+    shutil.copy(DET_W, md / "det" / "weights.npz")
+    shutil.copy(REC_W, md / "rec" / "weights.npz")
+
+    ds = SyntheticSceneDataset(seed=424)
+    scene, placed = ds.sample_scene()
+    while len(placed) < 3:
+        scene, placed = ds.sample_scene()
+
+    cfg = _cfg(fast_path=True, fused_max_boxes=8)
+    cfg.det.shape_buckets = (96,)
+    worker = OCRWorker(OCREngine(str(md), cfg), worker_id=0)
+    result = worker.process(scene, request_id=7)
+    assert result["success"] is True
+    assert sorted(w["text"] for w in golden["words"]) == golden["gt_lines"]
+    assert len(result["words"]) == len(golden["words"])
+    for got, want in zip(result["words"], golden["words"]):
+        assert got["text"] == want["text"]
+        assert got["box"] == want["box"]
+        assert abs(got["confidence"] - round(want["confidence"], 4)) < 2e-3
