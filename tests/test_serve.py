@@ -182,3 +182,65 @@ def test_client_cli_visualize(service, card_image_path, tmp_path):
     vis = cv2.imread(str(out))
     src = cv2.imread(str(card_image_path))
     assert vis is not None and vis.shape == src.shape
+
+
+def test_pipe_name_mapping():
+    r"""Reference-style \\.\pipe\NAME arguments map to /tmp/NAME.sock
+    (ocr_service_main.cpp's default pipe name keeps working)."""
+    from ppocr_tpu.cli.common import resolve_socket_path
+
+    assert (
+        resolve_socket_path(r"\\.\pipe\ocr_service") == "/tmp/ocr_service.sock"
+    )
+    assert resolve_socket_path("/run/x.sock") == "/run/x.sock"
+
+
+def test_chunked_request_frames(service, card_image_path):
+    """The NDJSON reader must tolerate a request arriving in arbitrary
+    byte-sized chunks (TCP-style partial writes)."""
+    import json
+    import socket
+    import time
+
+    payload = (
+        json.dumps(
+            {"command": "recognize", "image_path": str(card_image_path)}
+        ).encode()
+        + b"\n"
+    )
+    s = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+    s.settimeout(60)
+    s.connect(SOCKET)
+    try:
+        for i in range(0, len(payload), 7):
+            s.sendall(payload[i : i + 7])
+            time.sleep(0.001)
+        buf = b""
+        while not buf.endswith(b"\n"):
+            chunk = s.recv(65536)
+            assert chunk, "connection closed early"
+            buf += chunk
+        resp = json.loads(buf)
+        assert resp["success"] is True
+    finally:
+        s.close()
+
+
+def test_two_requests_one_connection(service, card_image_path):
+    """Multiple newline-framed commands over a single connection (the
+    reference's per-message loop, ocr_ipc_service.cpp:203-241)."""
+    import json
+    import socket
+
+    s = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+    s.settimeout(60)
+    s.connect(SOCKET)
+    f = s.makefile("rwb")
+    try:
+        for expect_cmd in ("status", "status"):
+            f.write(json.dumps({"command": expect_cmd}).encode() + b"\n")
+            f.flush()
+            resp = json.loads(f.readline())
+            assert resp["success"] is True
+    finally:
+        s.close()
