@@ -57,6 +57,15 @@ def build_parser() -> argparse.ArgumentParser:
         "device call (adds warmup compiles per batch bucket)",
     )
     p.add_argument(
+        "--batch-buckets",
+        choices=["pow2", "single"],
+        default="pow2",
+        help="batch-size compile buckets for --batch-requests N: pow2 = "
+        "1,2,4,...,N (lowest per-request compute, N x warmup compiles); "
+        "single = N only (partial batches pad up — ~3x faster cold boot, "
+        "padding is cheap on-chip)",
+    )
+    p.add_argument(
         "--det-buckets",
         default=None,
         help="comma-separated det compilation shape buckets (e.g. 192,384,512); "
@@ -116,6 +125,19 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def batch_bucket_list(max_batch: int, mode: str = "pow2") -> tuple:
+    """Compile-bucket list for cross-request batching: "pow2" = 1,2,4,…,N;
+    "single" = (N,) — partial batches pad up, trading a little on-chip
+    padding compute for ~N/log2(N)× fewer cold-boot compiles."""
+    if mode == "single":
+        return (max_batch,)
+    bb, b = [], 1
+    while b < max_batch:
+        bb.append(b)
+        b *= 2
+    return tuple(bb + [max_batch])
+
+
 async def _amain(args) -> int:
     from ..pipeline import PipelineConfig
     from ..serve import OCRIPCService
@@ -142,11 +164,9 @@ async def _amain(args) -> int:
     config.rec.decode = args.rec_decode
     config.rec.beam_size = args.beam_size
     if args.batch_requests > 1 and config.fast_path:
-        bb, b = [], 1
-        while b < args.batch_requests:
-            bb.append(b)
-            b *= 2
-        config.request_batch_buckets = tuple(bb + [args.batch_requests])
+        config.request_batch_buckets = batch_bucket_list(
+            args.batch_requests, args.batch_buckets
+        )
 
     print(f"Loading models from {args.model_dir} ...", flush=True)
     engine = None

@@ -295,3 +295,27 @@ class TestDeviceLossRecovery:
         assert disp.fused is not old_fused  # rebound to the reloaded engine
         assert second["success"] is True, second
         disp.shutdown()
+
+
+class TestBatchBucketList:
+    def test_pow2_and_single_modes(self):
+        from ppocr_tpu.cli.service_main import batch_bucket_list
+
+        assert batch_bucket_list(8, "pow2") == (1, 2, 4, 8)
+        assert batch_bucket_list(6, "pow2") == (1, 2, 4, 6)
+        assert batch_bucket_list(1, "pow2") == (1,)
+        assert batch_bucket_list(8, "single") == (8,)
+
+    def test_single_bucket_pads_partial_batches(self):
+        """With a (4,) bucket list, a lone request dispatches as a padded
+        batch of 4 and still resolves correctly."""
+        eng = FakeEngine(fast_path=True)
+        eng.config.request_batch_buckets = (4,)
+        disp = BatchingDispatcher(eng, num_workers=1, max_wait_ms=3)
+
+        async def run():
+            return await disp.submit(IMG, 11)
+
+        r = asyncio.run(run())
+        assert r["success"] is True and r["request_id"] == 11
+        disp.shutdown()
