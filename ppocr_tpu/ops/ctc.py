@@ -56,11 +56,19 @@ def ctc_beam_topk_device(
     ids, [N,T,k] their probs, [N,T] blank prob) — ~V/k less egress than
     the full lattice while keeping everything beam search needs (blank is
     carried separately so pruning can never drop it).
+
+    Blank (id 0) is masked out of the top-k input: it dominates most
+    timesteps and would otherwise consume one of the k slots the host
+    search then skips, so the effective candidate count was k−1
+    (ADVICE r2). All k slots now carry non-blank symbols.
     """
     import jax.lax as lax
 
-    val, idx = lax.top_k(probs, k)
-    return idx.astype(jnp.int32), val, probs[..., 0]
+    probs = jnp.asarray(probs)
+    blank = probs[..., 0]
+    masked = probs.at[..., 0].set(-1.0)  # post-softmax probs are ≥ 0
+    val, idx = lax.top_k(masked, k)
+    return idx.astype(jnp.int32), val, blank
 
 
 def ctc_beam_search(

@@ -106,9 +106,9 @@ class CrossChipFusedOCR:
         from ..pipeline.fused import FusedOutputs
 
         cfg = self.engine.config
-        start = time.perf_counter()
         pending = []
         for image in images:
+            t_dispatch = time.perf_counter()
             resized, ratio_h, ratio_w = det_resize(
                 image, cfg.det.limit_type, cfg.det.limit_side_len
             )
@@ -120,10 +120,10 @@ class CrossChipFusedOCR:
             futures = self._dispatch(
                 canvas, np.array([[rh, rw]], np.int32)
             )
-            pending.append((futures, (ratio_h, ratio_w), image.shape))
+            pending.append((futures, (ratio_h, ratio_w), image.shape, t_dispatch))
 
         results = []
-        for rid, (futures, (ratio_h, ratio_w), shape) in zip(
+        for rid, (futures, (ratio_h, ratio_w), shape, t_dispatch) in zip(
             request_ids, pending
         ):
             boxes, quads, valid, score, roots, idx, val, blank = (
@@ -151,7 +151,11 @@ class CrossChipFusedOCR:
                     "width": int(shape[1]),
                     "height": int(shape[0]),
                     "success": True,
-                    "processing_time_ms": (time.perf_counter() - start) * 1e3,
+                    # per-request: this item's dispatch → its own fetch
+                    # (the reference reports per-request worker time,
+                    # ocr_worker.cpp:214 — not cumulative stream time)
+                    "processing_time_ms": (time.perf_counter() - t_dispatch)
+                    * 1e3,
                     "worker_id": worker_id,
                     "words": words,
                 }

@@ -63,8 +63,8 @@ class PipelineConfig:
     enable_cls: bool = False
     # single-dispatch fused det→(cls)→rec pipeline (pipeline.fused): the
     # whole request runs in ONE device call — fastest serving mode for
-    # upright text; axis-aligned boxes only. The staged parity pipeline
-    # remains the default.
+    # upright text; axis-aligned boxes only. Default for the serving()
+    # profile; the defaults() parity profile keeps the staged pipeline.
     fast_path: bool = False
     # cross-request batch-size buckets for the fused path; (1,) disables
     # request batching. Each extra bucket multiplies warmup compiles.
@@ -95,8 +95,14 @@ class PipelineConfig:
     @classmethod
     def serving(cls) -> "PipelineConfig":
         """The worker's serving profile (ocr_worker.cpp:28-62): det
-        512/0.2/0.4/1.8/fast, cls 0.98×8, rec 16×28×192."""
+        512/0.2/0.4/1.8/fast, cls 0.98×8, rec 16×28×192.
+
+        Serves the FUSED single-dispatch path by default — the reference
+        also ships its fastest hard-coded profile as the default
+        (ocr_worker.cpp:14-63); the staged exact-parity pipeline stays one
+        flag away (``fast_path=False`` / ``ocr-service --staged``)."""
         return cls(
+            fast_path=True,
             det=DetConfig(
                 limit_type="max",
                 limit_side_len=512,

@@ -667,10 +667,17 @@ class FusedOCR:
         request_ids,
         worker_id: int = 0,
         batch_buckets=None,
+        arrival_times=None,
     ):
         """Cross-request batching: N same-bucket images → ONE device call.
         Images are grouped by their det shape bucket; each group pads its
-        batch to ``batch_buckets`` so compiled variants stay closed."""
+        batch to ``batch_buckets`` so compiled variants stay closed.
+
+        ``processing_time_ms`` is per-request: each response is stamped when
+        ITS device group completes, measured from the request's own
+        ``arrival_times`` entry (perf_counter seconds; defaults to batch
+        entry) — matching the reference's per-request worker timing
+        (ocr_worker.cpp:214) rather than the whole multi-group wall time."""
         import time
 
         from ..ops import det_resize
@@ -680,6 +687,9 @@ class FusedOCR:
         if batch_buckets is None:
             batch_buckets = cfg.request_batch_buckets
         start = time.perf_counter()
+        arrival = dict(
+            zip(request_ids, arrival_times or [start] * len(request_ids))
+        )
         prepped = []  # (group_key, padded_img, ratios, meta)
         for image, rid in zip(images, request_ids):
             resized, ratio_h, ratio_w = det_resize(
@@ -717,6 +727,7 @@ class FusedOCR:
                         content_dev,
                     )
                 )
+                group_done = time.perf_counter()
                 for j, (_, _, _, (ratio_h, ratio_w), (rid, shape)) in enumerate(
                     chunk
                 ):
@@ -728,7 +739,7 @@ class FusedOCR:
                         "width": int(shape[1]),
                         "height": int(shape[0]),
                         "success": True,
-                        "processing_time_ms": (time.perf_counter() - start)
+                        "processing_time_ms": (group_done - arrival[rid])
                         * 1e3,
                         "worker_id": worker_id,
                         "words": words,

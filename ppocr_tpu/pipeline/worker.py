@@ -64,9 +64,24 @@ class OCRWorker:
                     "worker_id": self.worker_id,
                     "error": "Empty image data provided",
                 }
-            return self._fused.process(
-                image_bgr, request_id, worker_id=self.worker_id
-            )
+            start = time.perf_counter()
+            try:
+                return self._fused.process(
+                    image_bgr, request_id, worker_id=self.worker_id
+                )
+            except Exception as e:
+                # error dict (not a raise) so the dispatcher's device-loss
+                # check sees it and can reload+retry — previously only the
+                # staged branch converted exceptions (ADVICE r2 medium)
+                return {
+                    "request_id": int(request_id),
+                    "width": int(image_bgr.shape[1]),
+                    "height": int(image_bgr.shape[0]),
+                    "success": False,
+                    "processing_time_ms": (time.perf_counter() - start) * 1e3,
+                    "worker_id": self.worker_id,
+                    "error": str(e),
+                }
         start = time.perf_counter()
         base = {
             "request_id": int(request_id),

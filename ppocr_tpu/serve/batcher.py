@@ -68,7 +68,9 @@ class BatchingDispatcher(EngineRecoveryMixin):
             self._queue = self._queue or asyncio.Queue()
             self._consumer = loop.create_task(self._consume())
         fut = loop.create_future()
-        await self._queue.put((image, request_id, fut))
+        import time
+
+        await self._queue.put((image, request_id, fut, time.perf_counter()))
         return await fut
 
     async def _consume(self):
@@ -95,11 +97,15 @@ class BatchingDispatcher(EngineRecoveryMixin):
                         break
                 images = [it[0] for it in items]
                 rids = [it[1] for it in items]
+                arrivals = [it[3] for it in items]
                 self.requests += len(items)
                 results = await loop.run_in_executor(
-                    self._pool, self.fused.process_batch, images, rids
+                    self._pool,
+                    lambda: self.fused.process_batch(
+                        images, rids, arrival_times=arrivals
+                    ),
                 )
-                for (_, _, fut), res in zip(items, results):
+                for (_, _, fut, _), res in zip(items, results):
                     if not res.get("success"):
                         self.errors += 1
                     if not fut.done():
@@ -110,7 +116,7 @@ class BatchingDispatcher(EngineRecoveryMixin):
                 self.errors += len(items)
                 self.consumer_restarts += 1
                 err = {"success": False, "error": str(e)}
-                for _, rid, fut in items:
+                for _, rid, fut, _arr in items:
                     if not fut.done():
                         fut.set_result({**err, "request_id": int(rid)})
                 if is_device_loss(str(e)):

@@ -51,6 +51,10 @@ class EngineRecoveryMixin:
         import asyncio
 
         self.engine_reloads = 0
+        # surfaced in service status: a cold-cache recovery warmup can take
+        # many minutes of main-thread compiles, during which all traffic
+        # stalls — operators can now distinguish that from a hang
+        self.reloading = False
         self._reload_lock = asyncio.Lock()
         self._last_reload = 0.0
 
@@ -67,7 +71,11 @@ class EngineRecoveryMixin:
             reload_fn = getattr(self.engine, "reload", None)
             if reload_fn is None:
                 return False
-            reload_fn(warmup=True)  # event loop == main thread: compiles OK
+            self.reloading = True
+            try:
+                reload_fn(warmup=True)  # event loop == main thread: compiles OK
+            finally:
+                self.reloading = False
             self._last_reload = time.monotonic()
             self.engine_reloads += 1
             self._after_engine_reload()

@@ -125,6 +125,7 @@ class OCRIPCService:
                 "failed_requests": self.failed_requests,
                 "timed_out_requests": self.timed_out_requests,
                 "engine_reloads": getattr(self.dispatcher, "engine_reloads", 0),
+                "reloading": getattr(self.dispatcher, "reloading", False),
                 "workers": self.dispatcher.worker_stats(),
             },
             separators=(",", ":"),

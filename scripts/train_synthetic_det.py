@@ -83,6 +83,17 @@ def main() -> int:
     p.add_argument("--src-h", type=int, default=192)
     p.add_argument("--src-w", type=int, default=192)
     p.add_argument("--eval-scenes", type=int, default=32)
+    p.add_argument(
+        "--alphabet",
+        choices=["digits", "ascii", "full"],
+        default="digits",
+        help="digits = cv2 Hershey digit lines (round-2 demo weights); "
+        "ascii = PIL/DejaVu printable-ASCII lines (94 classes); full = "
+        "ascii + the DejaVu-coverable reference-charset symbols "
+        "(~218 classes)",
+    )
+    p.add_argument("--max-len", type=int, default=None,
+                   help="max chars per rendered line (default: 5 digits, 6 otherwise)")
     p.add_argument("--out", default="/tmp/det_synthetic.npz")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
@@ -100,9 +111,29 @@ def main() -> int:
     from ppocr_tpu.utils.checkpoint import save_params_npz
 
     enable_persistent_cache()
-    ds = SyntheticSceneDataset(
-        src_hw=(args.src_h, args.src_w), det_hw=(args.det_h, args.det_w)
-    )
+
+    def make_ds(seed):
+        kw = dict(
+            src_hw=(args.src_h, args.src_w),
+            det_hw=(args.det_h, args.det_w),
+            seed=seed,
+        )
+        if args.alphabet != "digits":
+            from ppocr_tpu.train.synthetic import (
+                PILTextRenderer,
+                dejavu_alphabet,
+            )
+
+            kw.update(
+                alphabet=dejavu_alphabet(ascii_only=args.alphabet == "ascii"),
+                renderer=PILTextRenderer(),
+                max_len=args.max_len or 6,
+            )
+        elif args.max_len:
+            kw.update(max_len=args.max_len)
+        return SyntheticSceneDataset(**kw)
+
+    ds = make_ds(0)
 
     mesh = make_mesh(1)
     _, init_fn, step_fn = make_det_train_step(mesh, learning_rate=args.lr)
@@ -120,11 +151,7 @@ def main() -> int:
             )
 
     params = jax.device_get(state.params)
-    eval_ds = SyntheticSceneDataset(
-        src_hw=(args.src_h, args.src_w),
-        det_hw=(args.det_h, args.det_w),
-        seed=777,
-    )
+    eval_ds = make_ds(777)
     recall, precision = evaluate(
         params, eval_ds, args.eval_scenes,
         thresh=0.2, box_thresh=0.4, unclip=1.8,

@@ -36,6 +36,17 @@ def main() -> int:
         default=0.0,
         help="scene-crops mode: random crop rotation in +-degrees",
     )
+    p.add_argument(
+        "--alphabet",
+        choices=["digits", "ascii", "full"],
+        default="digits",
+        help="digits = cv2 Hershey digit lines (round-2 demo weights); "
+        "ascii = PIL/DejaVu printable-ASCII (94 classes); full = ascii + "
+        "DejaVu-coverable reference-charset symbols (~218 classes) — all "
+        "trained against the full 6,625-way CTC head",
+    )
+    p.add_argument("--max-len", type=int, default=None)
+    p.add_argument("--eval-batches", type=int, default=1)
     p.add_argument("--out", default="/tmp/rec_synthetic.npz")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
@@ -59,6 +70,20 @@ def main() -> int:
 
     enable_persistent_cache()
     charset = load_charset("/root/reference/models/rec/ppocr_keys_v1.txt")
+    scene_kw = dict(seed=7)
+    if args.alphabet != "digits":
+        from ppocr_tpu.train.synthetic import PILTextRenderer, dejavu_alphabet
+
+        alphabet = dejavu_alphabet(ascii_only=args.alphabet == "ascii")
+        scene_kw.update(
+            alphabet=alphabet,
+            renderer=PILTextRenderer(),
+            max_len=args.max_len or 6,
+        )
+    else:
+        alphabet = "0123456789"
+        if args.max_len:
+            scene_kw.update(max_len=args.max_len)
     if args.scene_crops:
         from ppocr_tpu.train.synthetic import (
             SceneCropRecDataset,
@@ -67,13 +92,15 @@ def main() -> int:
 
         ds = SceneCropRecDataset(
             charset,
-            SyntheticSceneDataset(seed=7),
+            SyntheticSceneDataset(**scene_kw),
             img_h=args.img_h,
             img_w=args.img_w,
             aug_rotate_deg=args.aug_rotate,
         )
     else:
-        ds = SyntheticRecDataset(charset, img_h=args.img_h, img_w=args.img_w)
+        ds = SyntheticRecDataset(
+            charset, alphabet=alphabet, img_h=args.img_h, img_w=args.img_w
+        )
 
     import optax
 
@@ -97,14 +124,20 @@ def main() -> int:
     # evaluate greedy decode on fresh samples
     import jax.numpy as jnp
 
-    eval_batch, texts = ds.batch(64)
-    probs = np.asarray(
-        jax.jit(rec_forward)(state.params, jnp.asarray(eval_batch["images"]))
-    )
-    decoded, conf = ctc_greedy_decode_np(probs, charset)
-    exact = sum(d == t for d, t in zip(decoded, texts))
-    print(f"eval: {exact}/64 exact line matches; samples:")
-    for d, t in list(zip(decoded, texts))[:8]:
+    fwd = jax.jit(rec_forward)
+    exact = total = 0
+    samples = []
+    for _ in range(args.eval_batches):
+        eval_batch, texts = ds.batch(64)
+        probs = np.asarray(
+            fwd(state.params, jnp.asarray(eval_batch["images"]))
+        )
+        decoded, conf = ctc_greedy_decode_np(probs, charset)
+        exact += sum(d == t for d, t in zip(decoded, texts))
+        total += len(texts)
+        samples = list(zip(decoded, texts))[:8]
+    print(f"eval: {exact}/{total} exact line matches; samples:")
+    for d, t in samples:
         print(f"  gt={t!r:12} pred={d!r}")
 
     save_params_npz(args.out, jax.device_get(state.params))

@@ -21,7 +21,14 @@ class FakeFused:
         self.calls = 0
         self.fail_next = 0
 
-    def process_batch(self, images, request_ids, worker_id=0, batch_buckets=None):
+    def process_batch(
+        self,
+        images,
+        request_ids,
+        worker_id=0,
+        batch_buckets=None,
+        arrival_times=None,
+    ):
         self.calls += 1
         if self.fail_next > 0:
             self.fail_next -= 1
@@ -279,7 +286,13 @@ class TestDeviceLossRecovery:
         disp = BatchingDispatcher(eng, num_workers=1, max_wait_ms=5)
         old_fused = eng._fused
 
-        def explode(images, request_ids, worker_id=0, batch_buckets=None):
+        def explode(
+            images,
+            request_ids,
+            worker_id=0,
+            batch_buckets=None,
+            arrival_times=None,
+        ):
             raise RuntimeError("transport: socket closed")
 
         old_fused.process_batch = explode

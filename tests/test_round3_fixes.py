@@ -1,0 +1,226 @@
+"""Round-3 fixes: per-request timing on batched paths, fused-path
+device-loss recovery, beam top-k blank masking, CLI flag conflicts, and
+the fused-by-default serving profile (VERDICT r2 weak #4/#6/#7 + ADVICE)."""
+
+import asyncio
+import time
+
+import numpy as np
+import pytest
+
+from ppocr_tpu.pipeline import OCREngine, OCRWorker
+from ppocr_tpu.pipeline.config import PipelineConfig
+from test_pipeline import small_config
+
+
+class TestServingDefaults:
+    def test_serving_profile_defaults_to_fused(self):
+        """Bare serving boots the fused fast path (VERDICT r2 #5); the
+        header-defaults parity profile stays staged."""
+        assert PipelineConfig.serving().fast_path is True
+        assert PipelineConfig.defaults().fast_path is False
+
+    def test_cli_flag_conflicts_exit_nonzero(self):
+        from ppocr_tpu.cli.service_main import main
+
+        assert main(["--staged", "--fast-path"]) == 2
+        # silently ignoring --cross-chip under batching misled (ADVICE r2)
+        assert main(["--cross-chip", "--batch-requests", "2"]) == 2
+        assert main(["--staged", "--cross-chip"]) == 2
+
+
+class TestBeamTopkBlankMask:
+    def test_all_candidate_slots_are_nonblank(self):
+        """Blank (id 0) dominates most CTC timesteps; it must not consume
+        a top-k slot the host search then skips (ADVICE r2)."""
+        from ppocr_tpu.ops.ctc import ctc_beam_topk_device
+
+        rng = np.random.default_rng(0)
+        probs = rng.dirichlet(np.ones(12), size=(2, 5)).astype(np.float32)
+        probs[..., 0] += 10.0  # blank overwhelmingly dominant
+        probs /= probs.sum(-1, keepdims=True)
+        idx, val, blank = ctc_beam_topk_device(probs, k=3)
+        idx, val, blank = np.asarray(idx), np.asarray(val), np.asarray(blank)
+        assert not np.any(idx == 0)
+        np.testing.assert_allclose(blank, probs[..., 0], rtol=1e-6)
+        # candidates are the true top-3 of the non-blank symbols
+        expect = np.argsort(-probs[..., 1:], axis=-1)[..., :3] + 1
+        got = np.sort(idx, axis=-1)
+        np.testing.assert_array_equal(np.sort(expect, axis=-1), got)
+
+
+class _RaisingFused:
+    def __init__(self, msg):
+        self.msg = msg
+
+    def process(self, image, request_id, worker_id=0):
+        raise RuntimeError(self.msg)
+
+
+class _FakeFusedEngine:
+    def __init__(self, msg="INTERNAL: stream closed: device_unavailable"):
+        self.config = PipelineConfig()
+        self.config.fast_path = True
+        self._fused = _RaisingFused(msg)
+        self.random_weights = {}
+
+    def fused_ocr(self):
+        return self._fused
+
+
+IMG = np.full((8, 8, 3), 255, np.uint8)
+
+
+class TestFusedWorkerDeviceLoss:
+    def test_fused_exception_becomes_error_dict(self):
+        """The fused branch converts exceptions to error dicts exactly like
+        the staged branch, so dispatcher device-loss recovery sees them
+        (ADVICE r2 medium)."""
+        worker = OCRWorker(_FakeFusedEngine(), worker_id=4)
+        r = worker.process(IMG, 9)
+        assert r["success"] is False
+        assert "device_unavailable" in r["error"]
+        assert r["request_id"] == 9 and r["worker_id"] == 4
+        assert r["width"] == 8 and r["height"] == 8
+
+    def test_dispatcher_recovers_fused_mode(self):
+        """Device loss on the Dispatcher-served fused mode (fast_path with
+        request_batch_buckets=(1,)) triggers reload + retry."""
+        from ppocr_tpu.serve.executor import Dispatcher
+
+        eng = _FakeFusedEngine()
+        eng.reload_calls = 0
+
+        class _OkFused:
+            def process(self, image, request_id, worker_id=0):
+                return {
+                    "request_id": int(request_id),
+                    "success": True,
+                    "words": [],
+                }
+
+        def reload(warmup=False):
+            eng.reload_calls += 1
+            eng._fused = _OkFused()
+
+        eng.reload = reload
+        disp = Dispatcher(eng, num_workers=1)
+        result = asyncio.run(disp.submit(IMG, 3))
+        assert eng.reload_calls == 1
+        assert result["success"] is True, result
+        disp.shutdown()
+
+
+def _fake_step_factory(delay_s=0.0):
+    """Stand-in for FusedOCR._step: right-shaped empty FusedOutputs."""
+    from ppocr_tpu.pipeline.fused import FusedOutputs
+
+    def step(det_params, rec_params, cls_params, img, content_hw):
+        if delay_s:
+            time.sleep(delay_s)
+        nb = img.shape[0]
+        k, t = 8, 6
+        return FusedOutputs(
+            boxes=np.zeros((nb, k, 4), np.int32),
+            valid=np.zeros((nb, k), bool),
+            scores=np.zeros((nb, k), np.float32),
+            ctc_idx=np.zeros((nb, k, t), np.int32),
+            ctc_prob=np.ones((nb, k, t), np.float32),
+            roots=np.zeros((nb, k), np.int32),
+            ctc_blank=None,
+            quads=np.zeros((nb, k, 4, 2), np.int32),
+        )
+
+    return step
+
+
+@pytest.fixture(scope="module")
+def fused_for_timing(reference_models):
+    cfg = small_config(enable_cls=False, fast_path=True, fused_max_boxes=8)
+    engine = OCREngine(str(reference_models), cfg)
+    fused = engine.fused_ocr()
+    fused._step = _fake_step_factory(delay_s=0.02)
+    return fused
+
+
+class TestPerRequestTiming:
+    def test_batched_groups_get_distinct_times(self, fused_for_timing):
+        """Two requests landing in different det-bucket groups must not
+        both report the whole multi-group wall time (VERDICT r2 weak #6):
+        the first group's request is stamped at ITS completion, before the
+        second group runs."""
+        img_small = np.full((50, 50, 3), 255, np.uint8)
+        img_large = np.full((90, 90, 3), 255, np.uint8)
+        r1, r2 = fused_for_timing.process_batch(
+            [img_small, img_large], [1, 2]
+        )
+        t1 = r1["processing_time_ms"]
+        t2 = r2["processing_time_ms"]
+        assert t1 != t2
+        # group 2 runs after group 1 completes → strictly more elapsed
+        assert t2 > t1
+        assert t2 >= 2 * 20.0 * 0.9  # both fake-step delays
+        assert t1 < t2 - 20.0 * 0.5
+
+    def test_arrival_times_extend_the_clock(self, fused_for_timing):
+        """arrival_times measures from queue entry (the batcher's submit),
+        not batch start — per-request latency includes queue wait."""
+        img = np.full((50, 50, 3), 255, np.uint8)
+        early = time.perf_counter() - 0.5
+        (r,) = fused_for_timing.process_batch(
+            [img], [5], arrival_times=[early]
+        )
+        assert r["processing_time_ms"] >= 500.0
+
+
+class TestCrossChipPerRequestTiming:
+    def test_stream_times_are_not_cumulative(self, reference_models):
+        """CrossChipFusedOCR.process_stream used to stamp every result with
+        time since stream start, so the Nth request reported cumulative
+        latency (ADVICE r2). Each item now reports dispatch→fetch."""
+        from ppocr_tpu.parallel.pipeline_stage import CrossChipFusedOCR
+
+        cfg = small_config(enable_cls=False, fast_path=True, fused_max_boxes=8)
+        engine = OCREngine(str(reference_models), cfg)
+        import jax
+
+        devs = jax.devices()
+        xc = CrossChipFusedOCR(engine, devs[0], devs[1], max_boxes=8)
+
+        calls = {"n": 0}
+        fake = _fake_step_factory()
+
+        def prep(det_params, cls_params, img, chw):
+            o = fake(det_params, None, None, img, chw)
+            crops = np.zeros((img.shape[0] * 8, 28, 96, 3), np.float32)
+            return (
+                crops,
+                o.boxes,
+                o.quads,
+                o.valid,
+                o.scores,
+                o.roots,
+                np.bool_(False),
+            )
+
+        def rec(rec_params, crops, narrow):
+            calls["n"] += 1
+            time.sleep(0.03 * calls["n"])  # later fetches wait longer
+            nb = crops.shape[0]
+            return (
+                np.zeros((nb, 6), np.int32),
+                np.ones((nb, 6), np.float32),
+                None,
+            )
+
+        xc._prep = prep
+        xc._rec = rec
+        img = np.full((50, 50, 3), 255, np.uint8)
+        results = xc.process_stream([img, img, img], [1, 2, 3])
+        times = [r["processing_time_ms"] for r in results]
+        assert len(set(times)) == 3
+        # every stage-1 dispatch is issued eagerly, so later items start
+        # later but all fetches land together: per-request stamping gives
+        # strictly DECREASING times, while the old cumulative stamping
+        # (shared stream start) gave increasing ones
+        assert times[0] > times[1] > times[2]
