@@ -97,17 +97,9 @@ def _trained_accuracy(n_scenes: int = 8):
         )
         worker = OCRWorker(OCREngine(md, cfg), worker_id=0)
         if gate == "ascii":
-            from ppocr_tpu.train.synthetic import (
-                PILTextRenderer,
-                dejavu_alphabet,
-            )
+            from ppocr_tpu.train.synthetic import text_scene_dataset
 
-            ds = SyntheticSceneDataset(
-                alphabet=dejavu_alphabet(ascii_only=True),
-                renderer=PILTextRenderer(),
-                max_len=6,
-                seed=424,
-            )
+            ds = text_scene_dataset("ascii", seed=424)
         else:
             ds = SyntheticSceneDataset(seed=424)
         total = exact = 0

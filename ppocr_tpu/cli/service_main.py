@@ -131,7 +131,52 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="print worker sizing advice and exit (getWorkerRecommendation analog)",
     )
+    p.add_argument(
+        "--processes",
+        type=int,
+        default=1,
+        help="multi-process serving: N worker service processes behind a "
+        "request-level balancer on the public socket (the GIL-proof "
+        "replacement for the reference's N worker threads). Workers boot "
+        "sequentially; warm boots hit the persistent XLA cache.",
+    )
+    p.add_argument(
+        "--recycle-after",
+        type=int,
+        default=0,
+        help="self-recycle the service process after N recognize requests "
+        "(graceful drain, exit code 3). Bounds the per-process RSS growth "
+        "of the axon host-transfer leak; under --processes > 1 the "
+        "supervisor restarts recycled workers automatically.",
+    )
+    p.add_argument(
+        "--platform",
+        default=None,
+        help="force the JAX platform (e.g. cpu). Needed because this "
+        "environment ignores the JAX_PLATFORMS env var once a plugin "
+        "registers — jax.config is the only reliable switch",
+    )
+    p.add_argument(
+        "--config",
+        default=None,
+        help="JSON file with PipelineConfig field overrides applied on top "
+        "of --profile (nested keys mirror the dataclasses, e.g. "
+        '{"det": {"shape_buckets": [64, 96]}, "rec": {"img_w": 256}})',
+    )
     return p
+
+
+def apply_config_overrides(config, data: dict):
+    """Recursively apply a JSON override dict onto the nested dataclass
+    config (lists become tuples to match the bucket fields)."""
+    for k, v in data.items():
+        if not hasattr(config, k):
+            raise ValueError(f"unknown config field: {k}")
+        cur = getattr(config, k)
+        if isinstance(v, dict):
+            apply_config_overrides(cur, v)
+        else:
+            setattr(config, k, tuple(v) if isinstance(v, list) else v)
 
 
 def batch_bucket_list(max_batch: int, mode: str = "pow2") -> tuple:
@@ -194,6 +239,12 @@ async def _amain(args) -> int:
         config.request_batch_buckets = batch_bucket_list(
             args.batch_requests, args.batch_buckets
         )
+    if args.config:
+        # config file wins over flags (applied last): the precise typed
+        # surface for fields the flag set doesn't reach
+        import json as _json
+
+        apply_config_overrides(config, _json.load(open(args.config)))
 
     print(f"Loading models from {args.model_dir} ...", flush=True)
     engine = None
@@ -228,6 +279,7 @@ async def _amain(args) -> int:
         config=config,
         engine=engine,
         request_timeout_ms=args.request_timeout,
+        recycle_after=args.recycle_after,
     )
     for name, is_random in service.engine.random_weights.items():
         if is_random:
@@ -260,18 +312,87 @@ async def _amain(args) -> int:
     status_task = asyncio.get_running_loop().create_task(status_loop())
     await service._stopped.wait()
     status_task.cancel()
+    if service.recycled:
+        print(
+            f"Service recycled after {service.total_requests} requests.",
+            flush=True,
+        )
+        return 3  # balancer.RECYCLE_EXIT_CODE — supervisor relaunches
+    print("Service stopped.", flush=True)
+    return 0
+
+
+def _strip_flag(argv, flag, has_value=True):
+    out, skip = [], 0
+    for a in argv:
+        if skip:
+            skip -= 1
+            continue
+        if a == flag:
+            skip = 1 if has_value else 0
+            continue
+        if a.startswith(flag + "="):
+            continue
+        out.append(a)
+    return out
+
+
+async def _supervisor_main(args, argv) -> int:
+    """--processes N: spawn N worker services + the request balancer
+    (serve.balancer) on the public socket."""
+    import signal
+
+    from ..serve.balancer import ServiceSupervisor
+
+    worker_args = _strip_flag(_strip_flag(list(argv), "--processes"), "--socket")
+    worker_args = _strip_flag(worker_args, "--pipe-name")
+    sup = ServiceSupervisor(
+        resolve_socket_path(args.socket), args.processes, worker_args
+    )
+    loop = asyncio.get_running_loop()
+    for sig in (signal.SIGINT, signal.SIGTERM):
+        loop.add_signal_handler(
+            sig, lambda: asyncio.ensure_future(sup.stop_async())
+        )
+    print(
+        f"Starting {args.processes} worker processes "
+        f"(recycle after {args.recycle_after or 'never'})...",
+        flush=True,
+    )
+    await sup.start_async()
+    print(
+        f"OCR balancer listening on {sup.socket_path} "
+        f"({args.processes} worker processes)",
+        flush=True,
+    )
+    mon = loop.create_task(sup.monitor())
+    await sup.balancer._stopped.wait()
+    mon.cancel()
+    await sup.stop_async()
     print("Service stopped.", flush=True)
     return 0
 
 
 def main(argv=None) -> int:
-    args = build_parser().parse_args(argv)
+    import sys as _sys
+
+    raw_argv = list(argv) if argv is not None else _sys.argv[1:]
+    args = build_parser().parse_args(raw_argv)
+    if args.platform:
+        import os as _os
+
+        _os.environ["JAX_PLATFORMS"] = args.platform
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", args.platform)
     if args.system_info:
         from ..pipeline import worker_recommendation
 
         print(worker_recommendation(enable_cls=args.cls).pretty())
         return 0
     try:
+        if args.processes > 1:
+            return asyncio.run(_supervisor_main(args, raw_argv))
         return asyncio.run(_amain(args))
     except KeyboardInterrupt:
         return 0

@@ -6,8 +6,15 @@ protocol; the cpu/gpu worker pools become an async dispatcher feeding
 logical workers that share one device-resident engine.
 """
 
+from .balancer import OCRBalancer, ServiceSupervisor
 from .client import OCRIPCClient
 from .executor import Dispatcher
 from .service import OCRIPCService
 
-__all__ = ["Dispatcher", "OCRIPCClient", "OCRIPCService"]
+__all__ = [
+    "Dispatcher",
+    "OCRBalancer",
+    "OCRIPCClient",
+    "OCRIPCService",
+    "ServiceSupervisor",
+]

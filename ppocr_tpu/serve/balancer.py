@@ -1,0 +1,424 @@
+"""Multi-process serving: a supervisor + request-level Unix-socket balancer.
+
+Why: one service process tops out near ~46 QPS on this class of host — the
+engine itself sustains >90 images/s, but JSON/base64/imdecode host work is
+GIL-bound (docs/PERF.md). The reference scales with N worker *threads*
+sharing one process (cpu_worker_pool.cpp:7-16); a Python port of that
+shape cannot scale past the GIL, so the TPU-era equivalent is N service
+*processes* behind one public socket:
+
+    client ──▶ public socket ──▶ OCRBalancer (asyncio, line-level L7)
+                                   ├──▶ worker process 0 (own socket)
+                                   ├──▶ worker process 1
+                                   └──▶ …
+
+* The balancer speaks the same NDJSON protocol as the service. Each
+  request LINE is routed to the least-busy live backend (not each
+  connection), so one chatty client cannot pin a process.
+* ``status`` is answered by the balancer itself with merged counters from
+  every live backend (the reference's single-process counters, summed).
+* ``shutdown`` is fanned out to all backends, then the balancer stops.
+* The supervisor restarts workers that exit — which includes deliberate
+  self-recycling: ``--recycle-after N`` makes a worker drain and exit with
+  code 3 after N recognize requests, bounding the per-process RSS growth
+  of the axon host-transfer leak (~260 KB/request, docs/PERF.md). Warm
+  restarts re-warm from the persistent XLA cache in seconds while the
+  remaining workers keep serving.
+
+Workers share ONE device; device work serializes on the chip, but the
+host-side request handling (the actual bottleneck) parallelizes across
+processes.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import os
+import subprocess
+import sys
+import time
+from typing import Dict, List, Optional
+
+RECYCLE_EXIT_CODE = 3
+MAX_LINE = 1048576 + 65536
+
+
+class Backend:
+    """One worker process' socket + a serialized request pipe to it."""
+
+    def __init__(self, socket_path: str):
+        self.socket_path = socket_path
+        self.reader: Optional[asyncio.StreamReader] = None
+        self.writer: Optional[asyncio.StreamWriter] = None
+        self.lock = asyncio.Lock()
+        self.inflight = 0
+        self.requests = 0
+        self.errors = 0
+
+    @property
+    def connected(self) -> bool:
+        return self.writer is not None and not self.writer.is_closing()
+
+    async def connect(self, timeout: float = 5.0) -> bool:
+        try:
+            self.reader, self.writer = await asyncio.wait_for(
+                asyncio.open_unix_connection(
+                    self.socket_path, limit=MAX_LINE
+                ),
+                timeout,
+            )
+            return True
+        except (OSError, asyncio.TimeoutError):
+            self.reader = self.writer = None
+            return False
+
+    async def close(self):
+        if self.writer is not None:
+            try:
+                self.writer.close()
+                await self.writer.wait_closed()
+            except Exception:
+                pass
+        self.reader = self.writer = None
+
+    async def roundtrip(self, line: bytes) -> bytes:
+        """One serialized request/response exchange (NDJSON is strictly
+        request-reply per line, so a per-backend lock is the pipeline)."""
+        async with self.lock:
+            if not self.connected and not await self.connect():
+                raise ConnectionError(f"backend {self.socket_path} down")
+            try:
+                self.writer.write(line)
+                await self.writer.drain()
+                resp = await self.reader.readline()
+                if not resp:
+                    raise ConnectionError("backend closed connection")
+                return resp
+            except Exception:
+                await self.close()
+                raise
+
+
+class OCRBalancer:
+    """Line-level balancer over N backend service sockets."""
+
+    def __init__(self, socket_path: str, backends: List[Backend]):
+        self.socket_path = socket_path
+        self.backends = backends
+        self.running = False
+        self.total_requests = 0
+        # lifetime counters (worker-process counters reset on recycle, so
+        # the public merged status is accounted here at the balancer)
+        self.forwarded = 0
+        self.forwarded_ok = 0
+        self.forwarded_time_ms = 0.0
+        self.timed_out = 0
+        self._server: Optional[asyncio.AbstractServer] = None
+        self._stopped = asyncio.Event()
+        self.on_shutdown = None  # supervisor hook
+
+    # -- routing -----------------------------------------------------------
+
+    def _pick(self) -> Optional[Backend]:
+        """Least-inflight live backend; falls back to any backend (it may
+        just be restarting and will accept by the time we connect)."""
+        live = [b for b in self.backends if b.connected]
+        pool = live or self.backends
+        return min(pool, key=lambda b: b.inflight) if pool else None
+
+    # requests ride out a worker restart up to this long before erroring
+    # (a --recycle-after relaunch with a warm XLA cache is seconds)
+    retry_window = 15.0
+
+    async def _forward(self, line: bytes) -> dict:
+        """Route one request line; failover to another backend on error,
+        and keep retrying inside ``retry_window`` when ALL backends are
+        momentarily down (e.g. the only worker is mid-recycle) so clients
+        see latency, not failures."""
+        last_err = None
+        deadline = time.monotonic() + self.retry_window
+        while True:
+            tried = []
+            for _ in range(len(self.backends)):
+                b = min(
+                    (x for x in self.backends if x not in tried),
+                    key=lambda x: (not x.connected, x.inflight),
+                    default=None,
+                )
+                if b is None:
+                    break
+                tried.append(b)
+                b.inflight += 1
+                try:
+                    resp = await b.roundtrip(line)
+                    b.requests += 1
+                    parsed = json.loads(resp)
+                    self.forwarded += 1
+                    if parsed.get("success"):
+                        self.forwarded_ok += 1
+                        self.forwarded_time_ms += parsed.get(
+                            "processing_time_ms", 0.0
+                        )
+                    elif "timed out" in str(parsed.get("error", "")):
+                        self.timed_out += 1
+                    return parsed
+                except Exception as e:
+                    b.errors += 1
+                    last_err = e
+                finally:
+                    b.inflight -= 1
+            if not self.running or time.monotonic() >= deadline:
+                return {
+                    "success": False,
+                    "error": f"All backends unavailable: {last_err}",
+                }
+            await asyncio.sleep(0.2)
+
+    # -- aggregated commands ----------------------------------------------
+
+    async def _merged_status(self) -> dict:
+        """Reference-shaped counters accounted at the balancer over its
+        lifetime (worker counters reset on recycle), plus live per-process
+        detail fanned out from each backend."""
+        per = []
+        for i, b in enumerate(self.backends):
+            try:
+                r = await b.roundtrip(b'{"command":"status"}\n')
+                st = json.loads(json.loads(r)["status"])
+                st["process"] = i
+                per.append(st)
+            except Exception as e:
+                per.append({"process": i, "error": str(e)})
+        ok = self.forwarded_ok
+        merged = {
+            "running": self.running,
+            "total_requests": self.forwarded,
+            "successful_requests": ok,
+            "average_processing_time_ms": (
+                self.forwarded_time_ms / ok if ok else 0.0
+            ),
+            "failed_requests": self.forwarded - ok,
+            "timed_out_requests": self.timed_out,
+            "processes": per,
+        }
+        return {"success": True, "status": json.dumps(merged, separators=(",", ":"))}
+
+    async def _fanout_shutdown(self) -> dict:
+        for b in self.backends:
+            try:
+                await b.roundtrip(b'{"command":"shutdown"}\n')
+            except Exception:
+                pass
+        if self.on_shutdown is not None:
+            self.on_shutdown()
+        asyncio.get_running_loop().create_task(self._delayed_stop())
+        return {
+            "success": True,
+            "message": "Shutdown command received, stopping service...",
+        }
+
+    async def _delayed_stop(self):
+        await asyncio.sleep(0.05)
+        await self.stop_async()
+
+    # -- connection handling -----------------------------------------------
+
+    async def _handle_client(self, reader, writer):
+        try:
+            while self.running:
+                try:
+                    line = await reader.readline()
+                except (asyncio.LimitOverrunError, ValueError):
+                    from .service import TOO_LARGE_ERROR, _compact
+
+                    writer.write(
+                        _compact({"success": False, "error": TOO_LARGE_ERROR})
+                    )
+                    await writer.drain()
+                    break
+                if not line:
+                    break
+                cmd = None
+                try:
+                    cmd = json.loads(line).get("command")
+                except Exception:
+                    pass  # backend replies with the exact invalid-JSON error
+                self.total_requests += 1
+                if cmd == "status":
+                    resp = await self._merged_status()
+                elif cmd == "shutdown":
+                    resp = await self._fanout_shutdown()
+                else:
+                    resp = await self._forward(line)
+                data = (
+                    json.dumps(resp, ensure_ascii=False, separators=(",", ":"))
+                    + "\n"
+                ).encode()
+                writer.write(data)
+                await writer.drain()
+                if cmd == "shutdown":
+                    break
+        except (ConnectionResetError, BrokenPipeError):
+            pass
+        finally:
+            try:
+                writer.close()
+                await writer.wait_closed()
+            except Exception:
+                pass
+
+    # -- lifecycle ---------------------------------------------------------
+
+    async def start_async(self):
+        if os.path.exists(self.socket_path):
+            os.unlink(self.socket_path)
+        self._stopped = asyncio.Event()
+        self._server = await asyncio.start_unix_server(
+            self._handle_client, path=self.socket_path, limit=MAX_LINE
+        )
+        self.running = True
+
+    async def stop_async(self):
+        if not self.running:
+            return
+        self.running = False
+        if self._server is not None:
+            self._server.close()
+            await self._server.wait_closed()
+        for b in self.backends:
+            await b.close()
+        if os.path.exists(self.socket_path):
+            try:
+                os.unlink(self.socket_path)
+            except OSError:
+                pass
+        self._stopped.set()
+
+
+class ServiceSupervisor:
+    """Spawns + restarts N worker service processes and runs the balancer.
+
+    The restart loop is the recovery the reference lacks entirely
+    (SURVEY.md §5 "no worker restart"): a worker that crashes OR
+    deliberately self-recycles (exit code 3 after --recycle-after N
+    requests) is relaunched with the same arguments; its warmup re-runs
+    from the persistent XLA compilation cache while the remaining workers
+    keep serving through the balancer.
+    """
+
+    def __init__(
+        self,
+        socket_path: str,
+        n_processes: int,
+        worker_args: List[str],
+        restart_delay: float = 1.0,
+        boot_timeout: float = 600.0,
+        argv_prefix: Optional[List[str]] = None,
+    ):
+        self.socket_path = socket_path
+        self.n = n_processes
+        self.worker_args = worker_args
+        self.restart_delay = restart_delay
+        self.boot_timeout = boot_timeout
+        # how to launch one worker (overridable for hermetic tests)
+        self.argv_prefix = argv_prefix or [
+            sys.executable,
+            "-m",
+            "ppocr_tpu.cli.service_main",
+        ]
+        self.procs: List[Optional[subprocess.Popen]] = [None] * n_processes
+        self.restarts = 0
+        self.running = False
+        self.backends = [
+            Backend(f"{socket_path}.w{i}") for i in range(n_processes)
+        ]
+        self.balancer = OCRBalancer(socket_path, self.backends)
+        self.balancer.on_shutdown = self._mark_stopping
+
+    def _mark_stopping(self):
+        self.running = False
+
+    def worker_socket(self, i: int) -> str:
+        return f"{self.socket_path}.w{i}"
+
+    def _spawn(self, i: int) -> subprocess.Popen:
+        argv = [
+            *self.argv_prefix,
+            "--socket",
+            self.worker_socket(i),
+            *self.worker_args,
+        ]
+        return subprocess.Popen(
+            argv,
+            stdout=subprocess.DEVNULL if os.environ.get(
+                "PPOCR_WORKER_QUIET"
+            ) else None,
+            stderr=subprocess.STDOUT if os.environ.get(
+                "PPOCR_WORKER_QUIET"
+            ) else None,
+        )
+
+    async def _wait_socket(self, path: str, timeout: float) -> bool:
+        deadline = time.monotonic() + timeout
+        while time.monotonic() < deadline:
+            if os.path.exists(path):
+                try:
+                    r, w = await asyncio.open_unix_connection(path)
+                    w.close()
+                    await w.wait_closed()
+                    return True
+                except OSError:
+                    pass
+            await asyncio.sleep(0.2)
+        return False
+
+    async def start_async(self):
+        self.running = True
+        # boot sequentially: each worker's first-ever warmup may compile;
+        # concurrent compiles on one host core would thrash (later boots
+        # hit the persistent cache and are cheap)
+        for i in range(self.n):
+            self.procs[i] = self._spawn(i)
+            ok = await self._wait_socket(
+                self.worker_socket(i), self.boot_timeout
+            )
+            if not ok:
+                raise RuntimeError(
+                    f"worker {i} did not open {self.worker_socket(i)}"
+                )
+        await self.balancer.start_async()
+
+    async def monitor(self):
+        """Restart exited workers while running (self-recycle or crash)."""
+        while self.running:
+            for i, p in enumerate(self.procs):
+                if p is not None and p.poll() is not None and self.running:
+                    self.restarts += 1
+                    await asyncio.sleep(self.restart_delay)
+                    self.procs[i] = self._spawn(i)
+                    await self._wait_socket(
+                        self.worker_socket(i), self.boot_timeout
+                    )
+            await asyncio.sleep(0.3)
+
+    async def stop_async(self):
+        self.running = False
+        await self.balancer.stop_async()
+        for p in self.procs:
+            if p is not None and p.poll() is None:
+                p.terminate()
+        for p in self.procs:
+            if p is not None:
+                try:
+                    p.wait(timeout=10)
+                except subprocess.TimeoutExpired:
+                    p.kill()
+
+    async def serve_forever(self):
+        await self.start_async()
+        mon = asyncio.get_running_loop().create_task(self.monitor())
+        await self.balancer._stopped.wait()
+        self.running = False
+        mon.cancel()
+        await self.stop_async()

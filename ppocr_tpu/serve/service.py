@@ -73,6 +73,7 @@ class OCRIPCService:
         config: Optional[PipelineConfig] = None,
         engine: Optional[OCREngine] = None,
         request_timeout_ms: float = 30000.0,
+        recycle_after: int = 0,
     ):
         # the reference instantiates exactly one pool: gpu if gpu_workers>0
         # else cpu (ocr_ipc_service.cpp:58-66); here both map to logical
@@ -93,6 +94,11 @@ class OCRIPCService:
         # --timeout, ocr_ipc_client.cpp:102-133, but its service would pin
         # a connection forever on a wedged worker — fixed here)
         self.request_timeout = max(request_timeout_ms, 1.0) / 1000.0
+        # self-recycle after N recognize requests (0 = never): bounds the
+        # axon host-RSS transfer leak (~260 KB/request, docs/PERF.md) under
+        # a supervisor that restarts recycled workers (serve.balancer)
+        self.recycle_after = int(recycle_after)
+        self.recycled = False
         self.request_counter = 0
         self.total_requests = 0
         self.successful_requests = 0
@@ -235,6 +241,18 @@ class OCRIPCService:
                     and response.get("success") is True
                 ):
                     break  # close after shutdown reply (ocr_ipc_service.cpp:272-275)
+                if (
+                    self.recycle_after
+                    and not self.recycled
+                    and self.total_requests >= self.recycle_after
+                ):
+                    # reply-then-recycle: graceful drain like shutdown, but
+                    # flagged so the CLI exits with the recycle code and
+                    # the supervisor relaunches this worker
+                    self.recycled = True
+                    asyncio.get_running_loop().create_task(
+                        self._delayed_stop()
+                    )
         except (ConnectionResetError, BrokenPipeError):
             pass  # broken-pipe isolation per connection
         finally:

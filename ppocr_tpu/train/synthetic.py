@@ -81,6 +81,20 @@ def dejavu_alphabet(
     return "".join(alphabet)
 
 
+def text_scene_dataset(mode: str, seed: int = 0, **kw) -> "SyntheticSceneDataset":
+    """Canonical PIL scene dataset for the multi-class trained-weight
+    gates — ONE definition of the distribution shared by the training
+    scripts, the e2e gate tests, and the bench accuracy probe (so they
+    cannot drift apart). ``mode``: "ascii" (94 classes) or "full"
+    (~218 classes)."""
+    alpha = dejavu_alphabet(ascii_only=mode == "ascii")
+    kw.setdefault("max_len", 6)
+    kw.setdefault("core_alphabet", "".join(c for c in alpha if c.isalnum()))
+    return SyntheticSceneDataset(
+        alphabet=alpha, renderer=PILTextRenderer(), seed=seed, **kw
+    )
+
+
 class PILTextRenderer:
     """TrueType line renderer (cv2's Hershey fonts are ASCII-only).
 
@@ -93,7 +107,11 @@ class PILTextRenderer:
         self,
         font_dir: str = DEJAVU_DIR,
         fonts: Sequence[str] = DEJAVU_FONTS,
-        sizes: Sequence[int] = (18, 22, 26, 30),
+        # ≥24 px: at the e2e-gate geometry (192 px scenes → 96 px det
+        # input) a 20 px line leaves a ~7 px-tall det blob whose shrink
+        # mask is marginal — recall plateaued at ~0.87; the serving
+        # profile's det512 sees ~4× finer detail than this gate
+        sizes: Sequence[int] = (24, 28, 32, 36),
     ):
         from PIL import ImageFont
 
@@ -177,6 +195,8 @@ class SyntheticSceneDataset:
         shrink_ratio: float = 0.4,
         fonts: Sequence[int] | None = None,
         renderer: Optional[PILTextRenderer] = None,
+        core_alphabet: Optional[str] = None,
+        core_frac: float = 0.75,
         seed: int = 0,
     ):
         self.alphabet = alphabet
@@ -190,11 +210,28 @@ class SyntheticSceneDataset:
         # PIL/TrueType backend for beyond-Hershey alphabets; None keeps the
         # cv2 rendering the round-2 digit goldens pinned
         self.renderer = renderer
+        # realistic char mix for large alphabets: most positions draw from
+        # the "core" (alphanumerics); pure tiny-punctuation lines ("·´.")
+        # make sub-minimal or disconnected det blobs no real detector is
+        # expected to group, and real-world text is mostly alnum anyway
+        self.core_alphabet = core_alphabet
+        self.core_frac = core_frac
         self.rng = np.random.default_rng(seed)
 
     def sample_text(self) -> str:
         n = int(self.rng.integers(self.min_len, self.max_len + 1))
-        return "".join(self.rng.choice(list(self.alphabet), size=n))
+        if not self.core_alphabet:
+            return "".join(self.rng.choice(list(self.alphabet), size=n))
+        core = self.rng.random(n) < self.core_frac
+        core[int(self.rng.integers(n))] = True  # ≥1 solid anchor char
+        return "".join(
+            str(
+                self.rng.choice(
+                    list(self.core_alphabet if c else self.alphabet)
+                )
+            )
+            for c in core
+        )
 
     def _measure(self, text: str):
         """(draw_ctx, tight (tw, th)) for one line under either backend."""

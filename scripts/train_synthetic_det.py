@@ -116,22 +116,16 @@ def main() -> int:
         kw = dict(
             src_hw=(args.src_h, args.src_w),
             det_hw=(args.det_h, args.det_w),
-            seed=seed,
         )
         if args.alphabet != "digits":
-            from ppocr_tpu.train.synthetic import (
-                PILTextRenderer,
-                dejavu_alphabet,
-            )
+            from ppocr_tpu.train.synthetic import text_scene_dataset
 
-            kw.update(
-                alphabet=dejavu_alphabet(ascii_only=args.alphabet == "ascii"),
-                renderer=PILTextRenderer(),
-                max_len=args.max_len or 6,
-            )
-        elif args.max_len:
-            kw.update(max_len=args.max_len)
-        return SyntheticSceneDataset(**kw)
+            if args.max_len:
+                kw["max_len"] = args.max_len
+            return text_scene_dataset(args.alphabet, seed=seed, **kw)
+        if args.max_len:
+            kw["max_len"] = args.max_len
+        return SyntheticSceneDataset(seed=seed, **kw)
 
     ds = make_ds(0)
 

@@ -70,34 +70,34 @@ def main() -> int:
 
     enable_persistent_cache()
     charset = load_charset("/root/reference/models/rec/ppocr_keys_v1.txt")
-    scene_kw = dict(seed=7)
-    if args.alphabet != "digits":
-        from ppocr_tpu.train.synthetic import PILTextRenderer, dejavu_alphabet
+    def make_scenes():
+        if args.alphabet != "digits":
+            from ppocr_tpu.train.synthetic import text_scene_dataset
 
-        alphabet = dejavu_alphabet(ascii_only=args.alphabet == "ascii")
-        scene_kw.update(
-            alphabet=alphabet,
-            renderer=PILTextRenderer(),
-            max_len=args.max_len or 6,
-        )
-    else:
-        alphabet = "0123456789"
-        if args.max_len:
-            scene_kw.update(max_len=args.max_len)
+            kw = {"max_len": args.max_len} if args.max_len else {}
+            return text_scene_dataset(args.alphabet, seed=7, **kw)
+        from ppocr_tpu.train.synthetic import SyntheticSceneDataset
+
+        kw = {"max_len": args.max_len} if args.max_len else {}
+        return SyntheticSceneDataset(seed=7, **kw)
+
     if args.scene_crops:
-        from ppocr_tpu.train.synthetic import (
-            SceneCropRecDataset,
-            SyntheticSceneDataset,
-        )
+        from ppocr_tpu.train.synthetic import SceneCropRecDataset
 
         ds = SceneCropRecDataset(
             charset,
-            SyntheticSceneDataset(**scene_kw),
+            make_scenes(),
             img_h=args.img_h,
             img_w=args.img_w,
             aug_rotate_deg=args.aug_rotate,
         )
     else:
+        if args.alphabet != "digits":
+            from ppocr_tpu.train.synthetic import dejavu_alphabet
+
+            alphabet = dejavu_alphabet(ascii_only=args.alphabet == "ascii")
+        else:
+            alphabet = "0123456789"
         ds = SyntheticRecDataset(
             charset, alphabet=alphabet, img_h=args.img_h, img_w=args.img_w
         )

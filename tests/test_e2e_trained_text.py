@@ -25,11 +25,7 @@ import pytest
 
 from ppocr_tpu.pipeline import OCREngine, OCRWorker
 from ppocr_tpu.pipeline.config import DetConfig, PipelineConfig, RecConfig
-from ppocr_tpu.train.synthetic import (
-    PILTextRenderer,
-    SyntheticSceneDataset,
-    dejavu_alphabet,
-)
+from ppocr_tpu.train.synthetic import text_scene_dataset
 
 WEIGHTS = pathlib.Path(__file__).parent.parent / "weights"
 DET_W = WEIGHTS / "det_synthetic_text.npz"
@@ -95,11 +91,11 @@ def full_model_dir(tmp_path_factory, reference_models):
     return _model_dir(tmp_path_factory, reference_models, REC_FULL_W)
 
 
-def _score(worker, alphabet, n_scenes, seed):
-    """(exact, total, det_found, det_gt) over held-out rendered scenes."""
-    ds = SyntheticSceneDataset(
-        alphabet=alphabet, renderer=PILTextRenderer(), max_len=6, seed=seed
-    )
+def _score(worker, mode, n_scenes, seed):
+    """(exact, total, det_found, det_gt) over held-out rendered scenes
+    drawn from the SAME canonical distribution the weights trained on
+    (train.synthetic.text_scene_dataset) at held-out seeds."""
+    ds = text_scene_dataset(mode, seed=seed)
     total = exact = det_found = det_gt = 0
     misses = []
     for s in range(n_scenes):
@@ -137,7 +133,7 @@ class TestAsciiGates:
         eng = OCREngine(str(ascii_model_dir), _cfg())
         assert eng.random_weights == {"det": False, "rec": False}
         exact, total, det_found, det_gt, misses = _score(
-            OCRWorker(eng, 0), dejavu_alphabet(ascii_only=True), 14, 31337
+            OCRWorker(eng, 0), "ascii", 14, 31337
         )
         assert det_found >= det_gt - 1, (det_found, det_gt)
         assert total >= 20
@@ -149,7 +145,7 @@ class TestAsciiGates:
         cfg.det.shape_buckets = (96,)
         eng = OCREngine(str(ascii_model_dir), cfg)
         exact, total, det_found, det_gt, misses = _score(
-            OCRWorker(eng, 0), dejavu_alphabet(ascii_only=True), 14, 31337
+            OCRWorker(eng, 0), "ascii", 14, 31337
         )
         assert det_found >= det_gt - 1, (det_found, det_gt)
         assert exact / total >= 0.95, f"{exact}/{total}; misses: {misses}"
@@ -160,12 +156,7 @@ class TestAsciiGates:
         class ~35 was previously never exercised with trained weights)."""
         eng = OCREngine(str(ascii_model_dir), _cfg())
         worker = OCRWorker(eng, 0)
-        ds = SyntheticSceneDataset(
-            alphabet=dejavu_alphabet(ascii_only=True),
-            renderer=PILTextRenderer(),
-            max_len=6,
-            seed=99,
-        )
+        ds = text_scene_dataset("ascii", seed=99)
         char_to_idx = {c: i for i, c in enumerate(eng.charset)}
         seen = set()
         for s in range(6):
@@ -184,7 +175,7 @@ class TestFullCharsetGates:
         make this strictly harder than ASCII)."""
         eng = OCREngine(str(full_model_dir), _cfg())
         exact, total, det_found, det_gt, misses = _score(
-            OCRWorker(eng, 0), dejavu_alphabet(), 14, 4242
+            OCRWorker(eng, 0), "full", 14, 4242
         )
         assert det_found >= det_gt - 1, (det_found, det_gt)
         assert total >= 20
@@ -195,7 +186,7 @@ class TestFullCharsetGates:
         cfg.det.shape_buckets = (96,)
         eng = OCREngine(str(full_model_dir), cfg)
         exact, total, det_found, det_gt, misses = _score(
-            OCRWorker(eng, 0), dejavu_alphabet(), 14, 4242
+            OCRWorker(eng, 0), "full", 14, 4242
         )
         assert det_found >= det_gt - 1, (det_found, det_gt)
         assert exact / total >= 0.90, f"{exact}/{total}; misses: {misses}"
