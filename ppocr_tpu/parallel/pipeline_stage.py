@@ -41,7 +41,10 @@ class CrossChipFusedOCR:
         self.rec_device = rec_device
         self.max_boxes = max_boxes or cfg.fused_max_boxes
         self.rec_img_h = cfg.rec.img_h
-        self.rec_img_w = cfg.rec.img_w + cfg.rec.img_w
+        from ..pipeline.fused import width_mult
+
+        mult = width_mult(cfg)
+        self.rec_img_w = mult * cfg.rec.img_w
         self.with_cls = bool(cfg.enable_cls and engine.cls_params is not None)
         self.decode = cfg.rec.decode
         self.beam_size = cfg.rec.beam_size
@@ -63,6 +66,7 @@ class CrossChipFusedOCR:
             # stages run single-device (committed inputs), so the pallas
             # kernel is safe whenever the platform is a TPU
             use_pallas=rec_device.platform in ("tpu", "axon"),
+            n_width_tiers=mult.bit_length(),
         )
         self._prep = jax.jit(prep)
         self._rec = jax.jit(rec)
@@ -84,12 +88,12 @@ class CrossChipFusedOCR:
         lazy (boxes, valid, score, roots, idx, val) device futures."""
         img = jax.device_put(canvas, self.det_device)
         chw = jax.device_put(content_hw, self.det_device)
-        crops_n, boxes, quads, valid, score, roots, narrow = self._prep(
+        crops_n, boxes, quads, valid, score, roots, tier = self._prep(
             self.det_params, self.cls_params, img, chw
         )
         crops_b = jax.device_put(crops_n, self.rec_device)  # ★ d2d handoff
-        narrow_b = jax.device_put(narrow, self.rec_device)
-        idx, val, blank = self._rec(self.rec_params, crops_b, narrow_b)
+        tier_b = jax.device_put(tier, self.rec_device)
+        idx, val, blank = self._rec(self.rec_params, crops_b, tier_b)
         return boxes, quads, valid, score, roots, idx, val, blank
 
     def process_stream(

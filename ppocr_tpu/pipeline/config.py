@@ -71,6 +71,14 @@ class PipelineConfig:
     request_batch_buckets: Tuple[int, ...] = (1,)
     # fused path: top-K blob candidates per image (rec runs B·K crops)
     fused_max_boxes: int = 32
+    # fused path: crop-canvas width cap = this × rec.img_w (power of two).
+    # The recognizer runs on the narrowest power-of-two slice that fits the
+    # batch's widest valid crop (width tiers), so raising the cap adds
+    # wide-line capacity (e.g. 4 → ~27:1 aspect in the serving profile)
+    # at +1 rec compile per fused variant; lines wider than the cap are
+    # horizontally squashed (docs/PARITY.md). Staged-path cap for
+    # comparison: width_buckets[-1]/img_h ≈ 46:1.
+    fused_width_mult: int = 2
     # fused path: emit principal-axis rotated rect quads (closed-form
     # minAreaRect approximation on device) instead of axis-aligned boxes;
     # crops stay the quad's boundingRect — the reference's own crop rule

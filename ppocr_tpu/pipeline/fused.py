@@ -279,6 +279,7 @@ def build_fused_parts(
     beam_candidates: int = 5,
     rotated: bool = False,
     use_pallas: bool = False,
+    n_width_tiers: int = 2,
 ):
     """The fused pipeline split at its natural cross-chip boundary:
 
@@ -439,12 +440,19 @@ def build_fused_parts(
             axis=2,
         ).astype(jnp.int32)
         quads_i = jnp.round(quads).astype(jnp.int32)  # [B, K, 4, 2]
-        # narrow fast path flag: every VALID crop's content fits in the
-        # half-width slice → rec runs at rec_img_w/2, exactly the width the
-        # staged path's bucket picker would choose (engine.recognize)
+        # width-tier index: the narrowest power-of-two slice of the crop
+        # canvas that still holds every VALID crop's content — rec then
+        # runs at rec_img_w/2^tier, matching the width the staged path's
+        # bucket picker would choose (engine.recognize). tier 0 = full
+        # canvas; each halving halves rec FLOPs.
         content_valid = jnp.where(valid, content_w, 0.0)
-        narrow = jnp.max(content_valid) <= float(rec_img_w // 2)
-        return crops_n.astype(dtype), boxes, quads_i, valid, score, roots, narrow
+        max_content = jnp.max(content_valid)
+        tier = jnp.int32(0)
+        for k in range(1, n_width_tiers):
+            tier = tier + (max_content <= float(rec_img_w >> k)).astype(
+                jnp.int32
+            )
+        return crops_n.astype(dtype), boxes, quads_i, valid, score, roots, tier
 
     def _decode_outputs(probs, t_full):
         """probs [N, T, V] → CTC decode operands, tail-padded to t_full with
@@ -467,25 +475,32 @@ def build_fused_parts(
         val = jnp.pad(val, ((0, 0), (0, t_full - t)), constant_values=1.0)
         return idx, val, None
 
-    def rec(rec_params, crops_n, narrow):
-        """CTC recognition with a width-conditional fast path: when every
-        valid crop's content fits rec_img_w/2 (the common case — full-width
-        crops only appear for very wide lines), the recognizer runs on the
-        half-width slice, halving its FLOPs. lax.cond executes only the
-        taken branch on TPU; the narrow branch's CTC outputs are padded
-        with pure-blank timesteps, so downstream decode is unchanged."""
+    def rec(rec_params, crops_n, tier):
+        """CTC recognition with width-tiered fast paths: the recognizer
+        runs on the narrowest power-of-two slice (rec_img_w/2^tier) that
+        holds every valid crop's content — wide lines (banners, long card
+        rows) take the full-width branch with NO horizontal squash up to
+        the configured canvas, common short lines take the cheapest.
+        lax.switch executes only the taken branch on TPU; narrower
+        branches' CTC outputs are padded with pure-blank timesteps, so
+        downstream decode is unchanged."""
         t_full = jax.eval_shape(
             rec_forward, rec_params, crops_n
         ).shape[1]
 
-        def run_full(c):
-            return _decode_outputs(rec_forward(rec_params, c), t_full)
+        def make_branch(k):
+            def run(c):
+                return _decode_outputs(
+                    rec_forward(rec_params, c[:, :, : rec_img_w >> k]),
+                    t_full,
+                )
 
-        def run_narrow(c):
-            half = c[:, :, : rec_img_w // 2]
-            return _decode_outputs(rec_forward(rec_params, half), t_full)
+            return run
 
-        return lax.cond(narrow, run_narrow, run_full, crops_n)
+        branches = [make_branch(k) for k in range(n_width_tiers)]
+        if len(branches) == 1:
+            return branches[0](crops_n)
+        return lax.switch(tier, branches, crops_n)
 
     return prep, rec
 
@@ -503,6 +518,7 @@ def build_fused_step(
     beam_candidates: int = 5,
     rotated: bool = False,
     use_pallas: bool = False,
+    n_width_tiers: int = 2,
 ):
     """Returns jitted ``step(det_params, rec_params, cls_params,
     img_u8[B,H,W,3], content_hw[B,2]) -> FusedOutputs`` (compiled per padded
@@ -525,14 +541,15 @@ def build_fused_step(
         beam_candidates=beam_candidates,
         rotated=rotated,
         use_pallas=use_pallas,
+        n_width_tiers=n_width_tiers,
     )
 
     @jax.jit
     def step(det_params, rec_params, cls_params, img_u8, content_hw) -> FusedOutputs:
-        crops_n, boxes, quads, valid, score, roots, narrow = prep(
+        crops_n, boxes, quads, valid, score, roots, tier = prep(
             det_params, cls_params, img_u8, content_hw
         )
-        idx, val, blank = rec(rec_params, crops_n, narrow)
+        idx, val, blank = rec(rec_params, crops_n, tier)
         nb = img_u8.shape[0]
         t = idx.shape[1]
         return FusedOutputs(
@@ -549,6 +566,14 @@ def build_fused_step(
     return step
 
 
+def width_mult(cfg) -> int:
+    """Validated fused crop-canvas width multiplier (power of two ≥ 1)."""
+    mult = int(getattr(cfg, "fused_width_mult", 2))
+    if mult < 1 or (mult & (mult - 1)):
+        raise ValueError(f"fused_width_mult must be a power of two: {mult}")
+    return mult
+
+
 class FusedOCR:
     """Single-dispatch serving wrapper sharing an OCREngine's params."""
 
@@ -557,7 +582,13 @@ class FusedOCR:
         cfg = engine.config
         self.max_boxes = max_boxes
         self.rec_img_h = cfg.rec.img_h
-        self.rec_img_w = cfg.rec.img_w + cfg.rec.img_w  # 2× base width cap
+        # crop-canvas width cap = fused_width_mult × base rec width; the
+        # recognizer runs on the narrowest power-of-two slice that holds
+        # the batch's widest valid crop (width tiers — no silent squash up
+        # to the cap; docs/PARITY.md documents behavior past it)
+        mult = width_mult(cfg)
+        self.rec_img_w = mult * cfg.rec.img_w
+        self.n_width_tiers = mult.bit_length()  # 2^(n-1) = mult
         self.with_cls = bool(cfg.enable_cls and engine.cls_params is not None)
         self.decode = cfg.rec.decode
         self.beam_size = cfg.rec.beam_size
@@ -577,6 +608,7 @@ class FusedOCR:
             beam_candidates=cfg.rec.beam_candidates,
             rotated=self.rotated,
             use_pallas=engine._pallas_ok(),
+            n_width_tiers=self.n_width_tiers,
         )
 
     def _cls_params(self):

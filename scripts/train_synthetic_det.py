@@ -133,9 +133,12 @@ def main() -> int:
     _, init_fn, step_fn = make_det_train_step(mesh, learning_rate=args.lr)
     state = init_fn(init_det_params(seed=0))
 
+    from ppocr_tpu.train.trainer import BatchPrefetcher
+
+    prefetch = BatchPrefetcher(lambda: ds.det_batch(args.batch)[0])
     t0 = time.time()
     for step in range(1, args.steps + 1):
-        batch, _ = ds.det_batch(args.batch)
+        batch = prefetch.next()
         state, loss = step_fn(state, batch)
         if step % 100 == 0 or step == 1:
             print(
@@ -144,6 +147,7 @@ def main() -> int:
                 flush=True,
             )
 
+    prefetch.close()
     params = jax.device_get(state.params)
     eval_ds = make_ds(777)
     recall, precision = evaluate(

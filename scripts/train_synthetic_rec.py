@@ -110,9 +110,12 @@ def main() -> int:
     _, init_fn, step_fn = make_train_step(mesh, learning_rate=schedule)
     state = init_fn(init_rec_params(seed=0))
 
+    from ppocr_tpu.train.trainer import BatchPrefetcher
+
+    prefetch = BatchPrefetcher(lambda: ds.batch(args.batch)[0])
     t0 = time.time()
     for step in range(1, args.steps + 1):
-        batch, _ = ds.batch(args.batch)
+        batch = prefetch.next()
         state, loss = step_fn(state, batch)
         if step % 100 == 0 or step == 1:
             print(
@@ -121,6 +124,7 @@ def main() -> int:
                 flush=True,
             )
 
+    prefetch.close()
     # evaluate greedy decode on fresh samples
     import jax.numpy as jnp
 
