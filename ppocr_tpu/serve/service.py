@@ -124,6 +124,7 @@ class OCRIPCService:
         return json.dumps(
             {
                 "running": self.running,
+                "pid": os.getpid(),
                 "total_requests": self.total_requests,
                 "successful_requests": self.successful_requests,
                 "average_processing_time_ms": avg,

@@ -48,7 +48,23 @@ def main() -> int:
     p.add_argument(
         "--vary-images",
         action="store_true",
-        help="perturb one pixel per request (defeats content-dedup caches)",
+        help="make every request's payload unique (defeats content-dedup "
+        "caches): --vary-mode picks how",
+    )
+    p.add_argument(
+        "--vary-mode",
+        choices=["comment", "pixel"],
+        default="comment",
+        help="comment = patch a JPEG COM segment with a counter (~zero "
+        "client CPU — the decoded pixels are identical but the upload "
+        "bytes are unique); pixel = perturb one pixel and re-encode "
+        "(~5 ms client CPU per request, round-2 behavior)",
+    )
+    p.add_argument(
+        "--track-workers",
+        action="store_true",
+        help="also read per-worker-process RSS via the pids in the merged "
+        "status (multi-process serving)",
     )
     args = p.parse_args()
 
@@ -62,9 +78,35 @@ def main() -> int:
         print(json.dumps({"error": f"cannot read {args.image}"}))
         return 1
 
+    def worker_pids() -> dict:
+        """pid → rss_kb for every worker process in the merged status."""
+        try:
+            c = OCRIPCClient(args.socket, timeout_ms=5000)
+            c.connect()
+            st = json.loads(c.send_request({"command": "status"})["status"])
+            c.disconnect()
+            procs = st.get("processes") or [st]
+            return {
+                p["pid"]: rss_kb(p["pid"]) for p in procs if p.get("pid")
+            }
+        except Exception:
+            return {}
+
     rss_start = rss_kb(args.pid) if args.pid else -1
+    workers_start = worker_pids() if args.track_workers else {}
     latencies, errors, lock = [], [0], threading.Lock()
     stop_at = time.time() + args.duration
+
+    ok0, base_jpg = cv2.imencode(".jpg", base_img)
+    assert ok0
+    base_jpg = base_jpg.tobytes()
+
+    def comment_payload(counter: int) -> str:
+        """Unique upload bytes at ~zero cost: splice a JPEG COM segment
+        carrying the counter right after SOI; decoders ignore it, the
+        tunnel's content-dedup cannot."""
+        com = b"\xff\xfe\x00\x12" + f"soak{counter:012d}".encode()
+        return base64.b64encode(base_jpg[:2] + com + base_jpg[2:]).decode()
 
     def worker(tid: int):
         client = OCRIPCClient(args.socket, timeout_ms=args.timeout)
@@ -72,18 +114,19 @@ def main() -> int:
         rng = np.random.default_rng(tid)
         i = 0
         while time.time() < stop_at:
-            img = base_img
-            if args.vary_images:
+            if args.vary_images and args.vary_mode == "pixel":
                 img = base_img.copy()
                 img[
                     int(rng.integers(0, img.shape[0])),
                     int(rng.integers(0, img.shape[1])),
                 ] = rng.integers(0, 255, 3)
-            ok, buf = cv2.imencode(".jpg", img)
-            payload = {
-                "command": "recognize",
-                "image_data": base64.b64encode(buf.tobytes()).decode(),
-            }
+                ok, buf = cv2.imencode(".jpg", img)
+                data = base64.b64encode(buf.tobytes()).decode()
+            elif args.vary_images:
+                data = comment_payload(tid * 10_000_000 + i)
+            else:
+                data = base64.b64encode(base_jpg).decode()
+            payload = {"command": "recognize", "image_data": data}
             t0 = time.perf_counter()
             try:
                 resp = client.send_request(payload)
@@ -111,6 +154,7 @@ def main() -> int:
     wall = time.time() - t0
 
     rss_end = rss_kb(args.pid) if args.pid else -1
+    workers_end = worker_pids() if args.track_workers else {}
     lat = sorted(latencies)
     n = len(lat)
     summary = {
@@ -127,6 +171,8 @@ def main() -> int:
         "rss_growth_kb_per_req": round((rss_end - rss_start) / max(n, 1), 1)
         if rss_start > 0
         else None,
+        "worker_rss_kb_start": workers_start or None,
+        "worker_rss_kb_end": workers_end or None,
     }
     print(json.dumps(summary))
     return 0
