@@ -179,29 +179,35 @@ class TestWideLineGate:
 
         from ppocr_tpu.train.synthetic import PILTextRenderer
 
-        text = "HELLO0123WORLDabcXYZmnpq"
-        r = PILTextRenderer(sizes=(28,))
-        font = r._fonts[(r.paths[0], 28)]
+        # no O/0, l/1/I pairs: glyph-ambiguous chars would test the font,
+        # not the width cap
+        text = "W4ke5Tur8em"
+        r = PILTextRenderer(sizes=(24,))
+        font = r._fonts[(r.paths[0], 24)]
         dx0, dy0, dx1, dy1 = r.measure(text, font)
         tw, th = dx1 - dx0, dy1 - dy0
-        img = Image.new("RGB", (tw + 16, th + 10), (255, 255, 255))
+        img = Image.new("RGB", (tw + 12, th + 8), (255, 255, 255))
         ImageDraw.Draw(img).text(
-            (8 - dx0, 5 - dy0), text, font=font, fill=(0, 0, 0)
+            (6 - dx0, 4 - dy0), text, font=font, fill=(0, 0, 0)
         )
         banner = np.asarray(img)
-        assert banner.shape[1] / banner.shape[0] > 10.7
+        # the banner fits inside the det limit → NO det downscale, so the
+        # fused crop (sampled from the det-scale canvas — PARITY.md) keeps
+        # full glyph resolution and the test isolates the WIDTH CAP:
+        # with rec.img_w = 96 the default 2× cap is 192 px (aspect 4),
+        # below this crop's aspect; mult 4 (384 px) holds it un-squashed
+        aspect = banner.shape[1] / banner.shape[0]
+        assert 4.0 < aspect < 8.0, aspect
 
         def wide_cfg(**kw):
             cfg = _cfg(**kw)
-            # det at 192 keeps the banner's glyphs at the trained scale
-            # (limit 96 would shrink them to ~7 px); no 32-bucket (CPU
-            # compile pathology, CLAUDE.md)
             cfg.det.limit_side_len = 192
             cfg.det.shape_buckets = (64, 192)
+            cfg.rec.img_w = 96
             return cfg
 
         cfg_staged = wide_cfg()
-        cfg_staged.rec.width_buckets = (256, 512, 1024)
+        cfg_staged.rec.width_buckets = (96, 192, 256)
         staged = OCRWorker(
             OCREngine(str(ascii_model_dir), cfg_staged), 0
         ).process(banner, 1)
