@@ -79,6 +79,11 @@ class PipelineConfig:
     # horizontally squashed (docs/PARITY.md). Staged-path cap for
     # comparison: width_buckets[-1]/img_h ≈ 46:1.
     fused_width_mult: int = 2
+    # fused path, experimental: route per-blob bbox/score through the
+    # single-pass Pallas VMEM accumulator (ops.pallas_kernels.
+    # blob_stats_pallas) instead of the [K,H,W] masked reductions —
+    # enable after profiling with scripts/profile_fused.py --blob-kernel
+    fused_blob_kernel: bool = False
     # fused path: emit principal-axis rotated rect quads (closed-form
     # minAreaRect approximation on device) instead of axis-aligned boxes;
     # crops stay the quad's boundingRect — the reference's own crop rule

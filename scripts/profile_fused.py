@@ -132,17 +132,31 @@ def main():
 
         return jax.vmap(g)(prob, content)
 
+    def p_stats_pallas(u8):
+        prob = p_det(u8)
+
+        def g(p, c):
+            labels = _connected_components(fg_of(p, c))
+            return _blob_stats(labels, p, K, use_pallas=True)
+
+        return jax.vmap(g)(prob, content)
+
     def p_full(u8):
         return step.__wrapped__(dp, rp, None, u8, content)
 
     t_det = onchip_ms(p_det, img)
     t_cc = onchip_ms(p_cc, img)
     t_stats = onchip_ms(p_stats, img)
+    t_stats_k = onchip_ms(p_stats_pallas, img)
     t_full = onchip_ms(p_full, img)
 
     print(f"det forward            : {t_det:7.3f} ms")
     print(f"+ connected components : {t_cc:7.3f} ms  (marginal {t_cc - t_det:+.3f})")
     print(f"+ blob stats           : {t_stats:7.3f} ms  (marginal {t_stats - t_cc:+.3f})")
+    print(
+        f"+ blob stats [pallas]  : {t_stats_k:7.3f} ms  "
+        f"(marginal {t_stats_k - t_cc:+.3f}; vs XLA {t_stats_k - t_stats:+.3f})"
+    )
     print(f"full fused step        : {t_full:7.3f} ms  (crops+rec {t_full - t_stats:+.3f})")
 
     if args.trace:

@@ -110,3 +110,97 @@ def test_pallas_ctc_topk_interpret():
     idx, val = ctc_topk_pallas(jnp.asarray(p), interpret=True)
     np.testing.assert_array_equal(np.asarray(idx), p.argmax(-1))
     np.testing.assert_allclose(np.asarray(val), p.max(-1), rtol=1e-6)
+
+
+def test_pallas_blob_stats_interpret():
+    """blob_stats_pallas == the masked-reduction formulation
+    (pipeline.fused._blob_stats) on a random label map, including
+    empty-root sentinel behavior."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ppocr_tpu.ops.pallas_kernels import blob_stats_pallas
+
+    rng = np.random.default_rng(3)
+    h, w, k = 40, 70, 8
+    # synthetic labels: a few rectangular blobs tagged by their root
+    labels = np.full((h, w), h * w, np.int32)
+    roots = []
+    for _ in range(5):
+        y0, x0 = int(rng.integers(0, h - 6)), int(rng.integers(0, w - 8))
+        bh, bw = int(rng.integers(2, 6)), int(rng.integers(3, 8))
+        root = y0 * w + x0
+        labels[y0 : y0 + bh, x0 : x0 + bw] = root
+        roots.append(root)
+    roots = np.array(roots + [-7] * (k - len(roots)), np.int32)  # empty slots
+    prob = rng.random((h, w)).astype(np.float32)
+
+    area, psum, x0, x1, y0, y1 = [
+        np.asarray(v)
+        for v in blob_stats_pallas(
+            jnp.asarray(labels), jnp.asarray(prob), jnp.asarray(roots),
+            interpret=True,
+        )
+    ]
+    big = 1e9
+    member = labels[None] == roots[:, None, None]
+    np.testing.assert_allclose(area, member.sum((1, 2)).astype(np.float32))
+    np.testing.assert_allclose(
+        psum, (member * prob[None]).sum((1, 2)), rtol=1e-5
+    )
+    ix = np.arange(w, dtype=np.float32)
+    iy = np.arange(h, dtype=np.float32)
+    colp = member.any(1)
+    rowp = member.any(2)
+    np.testing.assert_allclose(
+        x0, np.where(colp, ix[None], big).min(1), rtol=0
+    )
+    np.testing.assert_allclose(
+        x1, np.where(colp, ix[None], -big).max(1), rtol=0
+    )
+    np.testing.assert_allclose(
+        y0, np.where(rowp, iy[None], big).min(1), rtol=0
+    )
+    np.testing.assert_allclose(
+        y1, np.where(rowp, iy[None], -big).max(1), rtol=0
+    )
+
+
+def test_pallas_blob_stats_matches_fused_formulation():
+    """On a real CC label map (rendered text scene), the kernel's stats
+    equal the [K,H,W] masked-reduction formulation _blob_stats uses."""
+    import cv2
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ppocr_tpu.ops.pallas_kernels import blob_stats_pallas
+    from ppocr_tpu.pipeline.fused import _blob_stats, _connected_components
+
+    img = np.full((64, 96), 255, np.uint8)
+    cv2.putText(img, "37 41", (4, 40), cv2.FONT_HERSHEY_SIMPLEX, 1.0, 0, 2)
+    fg = jnp.asarray(img < 128)
+    labels = jax.jit(_connected_components)(fg)
+    rng = np.random.default_rng(0)
+    prob = jnp.asarray(rng.random((64, 96)).astype(np.float32))
+
+    ref = jax.jit(
+        lambda l, p: _blob_stats(l, p, max_boxes=8, use_pallas=False)
+    )(labels, prob)
+    n = 64 * 96
+    import jax.lax as lax
+
+    area = jnp.zeros((n + 1,), jnp.float32).at[labels.reshape(-1)].add(1.0)
+    area = area.at[n].set(0.0)
+    _, top_idx = lax.top_k(area[:n], 8)
+    karea, psum, x0, x1, y0, y1 = blob_stats_pallas(
+        labels, prob, top_idx, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(karea), np.asarray(ref["area"]))
+    np.testing.assert_allclose(
+        np.asarray(psum / jnp.maximum(karea, 1.0)),
+        np.asarray(ref["score"]),
+        rtol=1e-5,
+    )
+    for got, name in ((x0, "x0"), (x1, "x1"), (y0, "y0"), (y1, "y1")):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref[name]))
