@@ -82,49 +82,57 @@ def _blob_stats_kernel(
 ):
     """One row-tile pass of fused per-root blob statistics.
 
-    roots_ref: [SUBLANES, KP] i32 (row 0 holds the roots; padded slots are
-    -1, which no label equals). labels_ref/prob_ref: [tile_h, W]. out_ref:
-    [8, KP] f32 accumulator — rows: 0 area, 1 prob mass, 2 x0(min),
-    3 x1(max), 4 y0(min), 5 y1(max); grid steps run sequentially on TPU so
-    read-modify-write accumulation across tiles is safe."""
+    Layout-native formulation: roots live on SUBLANES ([KP, 1] column,
+    padded slots -1 which no label equals) so each image row ([1, W] on
+    lanes) broadcasts against them to a [KP, W] membership plane with no
+    cross-layout reshapes; the row loop is a static unroll of tile_h.
+
+    labels_ref/prob_ref: [tile_h, W]. out_ref: [KP, 8] f32 accumulator —
+    cols: 0 area, 1 prob mass, 2 x0(min), 3 x1(max), 4 y0(min), 5 y1(max).
+    Grid steps run sequentially on TPU so read-modify-write accumulation
+    across tiles is safe."""
     i = pl.program_id(0)
     big = jnp.float32(1e9)
 
     @pl.when(i == 0)
     def _():
-        kp = out_ref.shape[1]
-        init = jnp.zeros((8, kp), jnp.float32)
-        init = init.at[2].set(big).at[4].set(big)
-        init = init.at[3].set(-big).at[5].set(-big)
+        kp = out_ref.shape[0]
+        # column-wise init (no jnp .at scatter — unsupported in Pallas TC)
+        col = jax.lax.broadcasted_iota(jnp.int32, (kp, 8), 1)
+        init = jnp.where((col == 2) | (col == 4), big, 0.0)
+        init = jnp.where((col == 3) | (col == 5), -big, init)
         out_ref[:] = init
 
+    roots_col = roots_ref[:, 0:1]  # [KP, 1] int32 (sublane layout)
     lab = labels_ref[:]  # [tile_h, W] int32
     pr = prob_ref[:]  # [tile_h, W] f32
-    roots = roots_ref[0]  # [KP] int32
-    # [KP, tile_h, W] membership — the tile-local slice of the [K, H, W]
-    # mask the XLA formulation materializes in full
-    member = (lab[None, :, :] == roots[:, None, None]).astype(jnp.float32)
-    area = jnp.sum(member, axis=(1, 2))
-    psum = jnp.sum(member * pr[None, :, :], axis=(1, 2))
-    colp = jnp.max(member, axis=1)  # [KP, W] column presence
-    rowp = jnp.max(member, axis=2)  # [KP, tile_h] row presence
-    kp, w = colp.shape
-    ix = jax.lax.broadcasted_iota(jnp.float32, (kp, w), 1)
-    x0 = jnp.min(jnp.where(colp > 0, ix, big), axis=1)
-    x1 = jnp.max(jnp.where(colp > 0, ix, -big), axis=1)
-    iy = (
-        jax.lax.broadcasted_iota(jnp.float32, (kp, tile_h), 1)
-        + jnp.float32(tile_h) * i.astype(jnp.float32)
-    )
-    y0 = jnp.min(jnp.where(rowp > 0, iy, big), axis=1)
-    y1 = jnp.max(jnp.where(rowp > 0, iy, -big), axis=1)
+    kp = roots_col.shape[0]
+    w = lab.shape[1]
+    ix = jax.lax.broadcasted_iota(jnp.int32, (kp, w), 1).astype(jnp.float32)
+    area = jnp.zeros((kp, 1), jnp.float32)
+    psum = jnp.zeros((kp, 1), jnp.float32)
+    colp = jnp.zeros((kp, w), jnp.float32)
+    y0 = jnp.full((kp, 1), big, jnp.float32)
+    y1 = jnp.full((kp, 1), -big, jnp.float32)
+    base_y = jnp.float32(tile_h) * i.astype(jnp.float32)
+    for r in range(tile_h):
+        m = (lab[r : r + 1, :] == roots_col).astype(jnp.float32)  # [KP, W]
+        area += jnp.sum(m, axis=1, keepdims=True)
+        psum += jnp.sum(m * pr[r : r + 1, :], axis=1, keepdims=True)
+        colp = jnp.maximum(colp, m)
+        present = jnp.max(m, axis=1, keepdims=True)  # [KP, 1]
+        yval = base_y + jnp.float32(r)
+        y0 = jnp.minimum(y0, jnp.where(present > 0, yval, big))
+        y1 = jnp.maximum(y1, jnp.where(present > 0, yval, -big))
+    x0 = jnp.min(jnp.where(colp > 0, ix, big), axis=1, keepdims=True)
+    x1 = jnp.max(jnp.where(colp > 0, ix, -big), axis=1, keepdims=True)
 
-    out_ref[0, :] += area
-    out_ref[1, :] += psum
-    out_ref[2, :] = jnp.minimum(out_ref[2, :], x0)
-    out_ref[3, :] = jnp.maximum(out_ref[3, :], x1)
-    out_ref[4, :] = jnp.minimum(out_ref[4, :], y0)
-    out_ref[5, :] = jnp.maximum(out_ref[5, :], y1)
+    out_ref[:, 0:1] += area
+    out_ref[:, 1:2] += psum
+    out_ref[:, 2:3] = jnp.minimum(out_ref[:, 2:3], x0)
+    out_ref[:, 3:4] = jnp.maximum(out_ref[:, 3:4], x1)
+    out_ref[:, 4:5] = jnp.minimum(out_ref[:, 4:5], y0)
+    out_ref[:, 5:6] = jnp.maximum(out_ref[:, 5:6], y1)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "tile_h"))
@@ -155,8 +163,9 @@ def blob_stats_pallas(
         constant_values=-2,
     )
     prob_p = jnp.pad(prob.astype(jnp.float32), ((0, hp - h), (0, wp - w)))
-    roots_p = jnp.full((SUBLANES, kp), -1, jnp.int32)
-    roots_p = roots_p.at[0, :k].set(roots.astype(jnp.int32))
+    roots_p = jnp.pad(
+        roots.astype(jnp.int32), (0, kp - k), constant_values=-1
+    )[:, None]  # [KP, 1] — roots on sublanes (see kernel docstring)
 
     grid = (hp // tile_h,)
     out = pl.pallas_call(
@@ -164,7 +173,7 @@ def blob_stats_pallas(
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (SUBLANES, kp), lambda i: (0, 0), memory_space=pltpu.VMEM
+                (kp, 1), lambda i: (0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
                 (tile_h, wp), lambda i: (i, 0), memory_space=pltpu.VMEM
@@ -174,16 +183,16 @@ def blob_stats_pallas(
             ),
         ],
         out_specs=pl.BlockSpec(
-            (8, kp), lambda i: (0, 0), memory_space=pltpu.VMEM
+            (kp, 8), lambda i: (0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((8, kp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((kp, 8), jnp.float32),
         interpret=interpret,
     )(roots_p, labels_p, prob_p)
     return (
-        out[0, :k],
-        out[1, :k],
-        out[2, :k],
-        out[3, :k],
-        out[4, :k],
-        out[5, :k],
+        out[:k, 0],
+        out[:k, 1],
+        out[:k, 2],
+        out[:k, 3],
+        out[:k, 4],
+        out[:k, 5],
     )
