@@ -332,10 +332,13 @@ def check_regressions(result: dict, good: dict) -> list:
             )
         good_acc = good.get("extra", {}).get("trained_weights_e2e_exact_match")
         acc = extra.get("trained_weights_e2e_exact_match")
+        same_gate = extra.get("trained_gate") == good.get("extra", {}).get(
+            "trained_gate"
+        )
         if good_acc is not None:
             if acc is None:
                 fails.append("trained-weight accuracy gate did not run")
-            elif acc < good_acc - 0.02:
+            elif same_gate and acc < good_acc - 0.02:
                 fails.append(
                     f"trained e2e exact-match {acc} < good {good_acc} - 0.02"
                 )
@@ -361,18 +364,21 @@ def main(argv=None) -> int:
 
     result = run_bench()
     print(json.dumps(result))
-    if args.update_good:
-        with open(GOOD_FILE, "w") as f:
-            json.dump(result, f, indent=1)
+    rc = 0
     if args.check:
+        # read the PRIOR good before any update — checking against a
+        # baseline written by the same invocation would be a tautology
         good = {}
         if os.path.exists(GOOD_FILE):
             good = json.load(open(GOOD_FILE))
         fails = check_regressions(result, good)
         for msg in fails:
             print(f"REGRESSION: {msg}", file=sys.stderr)
-        return 1 if fails else 0
-    return 0
+        rc = 1 if fails else 0
+    if args.update_good and rc == 0:
+        with open(GOOD_FILE, "w") as f:
+            json.dump(result, f, indent=1)
+    return rc
 
 
 if __name__ == "__main__":
