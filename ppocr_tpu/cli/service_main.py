@@ -150,6 +150,13 @@ def build_parser() -> argparse.ArgumentParser:
         "supervisor restarts recycled workers automatically.",
     )
     p.add_argument(
+        "--boot-timeout",
+        type=float,
+        default=3600.0,
+        help="--processes mode: seconds to wait for each worker's socket "
+        "(first-ever boots compile for many minutes through the tunnel)",
+    )
+    p.add_argument(
         "--platform",
         default=None,
         help="force the JAX platform (e.g. cpu). Needed because this "
@@ -347,7 +354,10 @@ async def _supervisor_main(args, argv) -> int:
     worker_args = _strip_flag(_strip_flag(list(argv), "--processes"), "--socket")
     worker_args = _strip_flag(worker_args, "--pipe-name")
     sup = ServiceSupervisor(
-        resolve_socket_path(args.socket), args.processes, worker_args
+        resolve_socket_path(args.socket),
+        args.processes,
+        worker_args,
+        boot_timeout=args.boot_timeout,
     )
     loop = asyncio.get_running_loop()
     for sig in (signal.SIGINT, signal.SIGTERM):

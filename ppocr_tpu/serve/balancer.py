@@ -313,7 +313,9 @@ class ServiceSupervisor:
         n_processes: int,
         worker_args: List[str],
         restart_delay: float = 1.0,
-        boot_timeout: float = 600.0,
+        # a FIRST-EVER boot can cost tens of minutes of tunnel compiles
+        # (docs/PERF.md cold-boot note); warm boots are seconds
+        boot_timeout: float = 3600.0,
         argv_prefix: Optional[List[str]] = None,
     ):
         self.socket_path = socket_path
@@ -384,8 +386,14 @@ class ServiceSupervisor:
                 self.worker_socket(i), self.boot_timeout
             )
             if not ok:
+                # don't leave half-booted workers compiling in the dark
+                for p in self.procs:
+                    if p is not None and p.poll() is None:
+                        p.terminate()
                 raise RuntimeError(
-                    f"worker {i} did not open {self.worker_socket(i)}"
+                    f"worker {i} did not open {self.worker_socket(i)} "
+                    f"within {self.boot_timeout:.0f}s (first-ever boots "
+                    "compile for many minutes; raise --boot-timeout)"
                 )
         await self.balancer.start_async()
 
