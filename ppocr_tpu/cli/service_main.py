@@ -353,11 +353,15 @@ async def _supervisor_main(args, argv) -> int:
 
     worker_args = _strip_flag(_strip_flag(list(argv), "--processes"), "--socket")
     worker_args = _strip_flag(worker_args, "--pipe-name")
+    # the SUPERVISOR owns recycling in multi-process mode (rolling
+    # rotation, replacement-first); workers must not self-recycle
+    worker_args = _strip_flag(worker_args, "--recycle-after")
     sup = ServiceSupervisor(
         resolve_socket_path(args.socket),
         args.processes,
         worker_args,
         boot_timeout=args.boot_timeout,
+        recycle_after=args.recycle_after,
     )
     loop = asyncio.get_running_loop()
     for sig in (signal.SIGINT, signal.SIGTERM):

@@ -45,59 +45,102 @@ MAX_LINE = 1048576 + 65536
 
 
 class Backend:
-    """One worker process' socket + a serialized request pipe to it."""
+    """One worker process' socket + a CONNECTION POOL of request pipes.
 
-    def __init__(self, socket_path: str):
+    NDJSON is strictly request-reply per connection, so concurrency to a
+    worker = number of pooled connections. A single locked connection
+    would cap the whole balancer at one in-flight request per worker —
+    and, worse, starve the worker's cross-request batching (the
+    BatchingDispatcher coalesces across connections): measured 15 QPS /
+    517 ms p50 vs 55 QPS for the same worker driven concurrently."""
+
+    def __init__(self, socket_path: str, pool_size: int = 8):
         self.socket_path = socket_path
-        self.reader: Optional[asyncio.StreamReader] = None
-        self.writer: Optional[asyncio.StreamWriter] = None
-        self.lock = asyncio.Lock()
+        self.pool_size = pool_size
+        self._free: asyncio.Queue = asyncio.Queue()
+        self._open = 0
+        # epoch bumps on retarget(): channels from an older epoch are
+        # discarded on release so in-flight requests to the old worker
+        # finish normally but nothing new reaches it (rolling recycle)
+        self._epoch = 0
         self.inflight = 0
         self.requests = 0
         self.errors = 0
 
     @property
     def connected(self) -> bool:
-        return self.writer is not None and not self.writer.is_closing()
+        return self._open > 0
+
+    async def _acquire(self, timeout: float = 5.0):
+        while True:
+            if self._free.empty() and self._open < self.pool_size:
+                self._open += 1
+                try:
+                    r, w = await asyncio.wait_for(
+                        asyncio.open_unix_connection(
+                            self.socket_path, limit=MAX_LINE
+                        ),
+                        timeout,
+                    )
+                    return (r, w, self._epoch)
+                except (OSError, asyncio.TimeoutError) as e:
+                    self._open -= 1
+                    raise ConnectionError(
+                        f"backend {self.socket_path} down: {e}"
+                    )
+            ch = await self._free.get()
+            if ch[2] == self._epoch and not ch[1].is_closing():
+                return ch
+            self._discard(ch)  # stale epoch/closed; make/get another
+
+    def _discard(self, ch):
+        self._open -= 1
+        try:
+            ch[1].close()
+        except Exception:
+            pass
+
+    def _release(self, ch):
+        if ch[2] == self._epoch and not ch[1].is_closing():
+            self._free.put_nowait(ch)
+        else:
+            self._discard(ch)
+
+    def retarget(self, socket_path: str):
+        """Atomically point new requests at a different worker socket;
+        pooled channels to the old worker drain and are discarded."""
+        self.socket_path = socket_path
+        self._epoch += 1
 
     async def connect(self, timeout: float = 5.0) -> bool:
+        """Probe/prewarm one pooled connection."""
         try:
-            self.reader, self.writer = await asyncio.wait_for(
-                asyncio.open_unix_connection(
-                    self.socket_path, limit=MAX_LINE
-                ),
-                timeout,
-            )
-            return True
-        except (OSError, asyncio.TimeoutError):
-            self.reader = self.writer = None
+            ch = await self._acquire(timeout)
+        except ConnectionError:
             return False
+        self._release(ch)
+        return True
 
     async def close(self):
-        if self.writer is not None:
-            try:
-                self.writer.close()
-                await self.writer.wait_closed()
-            except Exception:
-                pass
-        self.reader = self.writer = None
+        while not self._free.empty():
+            self._discard(self._free.get_nowait())
 
     async def roundtrip(self, line: bytes) -> bytes:
-        """One serialized request/response exchange (NDJSON is strictly
-        request-reply per line, so a per-backend lock is the pipeline)."""
-        async with self.lock:
-            if not self.connected and not await self.connect():
-                raise ConnectionError(f"backend {self.socket_path} down")
-            try:
-                self.writer.write(line)
-                await self.writer.drain()
-                resp = await self.reader.readline()
-                if not resp:
-                    raise ConnectionError("backend closed connection")
-                return resp
-            except Exception:
-                await self.close()
-                raise
+        """One request-reply exchange on a pooled connection; up to
+        ``pool_size`` exchanges run concurrently per backend."""
+        ch = await self._acquire()
+        reader, writer = ch[0], ch[1]
+        try:
+            writer.write(line)
+            await writer.drain()
+            resp = await reader.readline()
+            if not resp:
+                raise ConnectionError("backend closed connection")
+        except Exception:
+            self._discard(ch)
+            raise
+        self._release(ch)
+        return resp
 
 
 class OCRBalancer:
@@ -240,10 +283,14 @@ class OCRBalancer:
                 if not line:
                     break
                 cmd = None
-                try:
-                    cmd = json.loads(line).get("command")
-                except Exception:
-                    pass  # backend replies with the exact invalid-JSON error
+                # only small lines can be status/shutdown; parsing a ~300 KB
+                # base64 recognize line here would double the JSON cost per
+                # request (the worker parses it anyway)
+                if len(line) <= 4096:
+                    try:
+                        cmd = json.loads(line).get("command")
+                    except Exception:
+                        pass  # backend replies with the invalid-JSON error
                 self.total_requests += 1
                 if cmd == "status":
                     resp = await self._merged_status()
@@ -300,11 +347,21 @@ class ServiceSupervisor:
     """Spawns + restarts N worker service processes and runs the balancer.
 
     The restart loop is the recovery the reference lacks entirely
-    (SURVEY.md §5 "no worker restart"): a worker that crashes OR
-    deliberately self-recycles (exit code 3 after --recycle-after N
-    requests) is relaunched with the same arguments; its warmup re-runs
-    from the persistent XLA compilation cache while the remaining workers
-    keep serving through the balancer.
+    (SURVEY.md §5 "no worker restart"): a worker that crashes or exits is
+    relaunched with the same arguments; its warmup re-runs from the
+    persistent XLA compilation cache while the remaining workers keep
+    serving through the balancer.
+
+    ``recycle_after`` enables ROLLING recycle to bound the per-process RSS
+    leak: the supervisor watches each worker's served-request count and,
+    one worker at a time, boots a replacement process on a fresh socket,
+    atomically retargets the backend (in-flight requests to the old worker
+    drain on their pooled channels), then retires the old process —
+    capacity never drops below (n-1)/n. (Worker SELF-recycling — also
+    supported via the service's own --recycle-after in single-process
+    mode — is the wrong tool under a balancer: all workers cross the
+    threshold together under even load and a warm reboot takes minutes
+    through the tunnel, measured as a 90→49 QPS soak collapse.)
     """
 
     def __init__(
@@ -317,12 +374,21 @@ class ServiceSupervisor:
         # (docs/PERF.md cold-boot note); warm boots are seconds
         boot_timeout: float = 3600.0,
         argv_prefix: Optional[List[str]] = None,
+        recycle_after: int = 0,
     ):
         self.socket_path = socket_path
         self.n = n_processes
         self.worker_args = worker_args
         self.restart_delay = restart_delay
         self.boot_timeout = boot_timeout
+        self.recycle_after = int(recycle_after)
+        self.recycles = 0
+        self._rotating = False
+        self._booting: set = set()  # replacement procs not yet promoted
+        self.gen = [0] * n_processes
+        # served-request baseline per worker (reset at each rotation —
+        # worker counters restart from 0 in the replacement process)
+        self._served = [0] * n_processes
         # how to launch one worker (overridable for hermetic tests)
         self.argv_prefix = argv_prefix or [
             sys.executable,
@@ -341,14 +407,15 @@ class ServiceSupervisor:
     def _mark_stopping(self):
         self.running = False
 
-    def worker_socket(self, i: int) -> str:
-        return f"{self.socket_path}.w{i}"
+    def worker_socket(self, i: int, gen: Optional[int] = None) -> str:
+        g = self.gen[i] if gen is None else gen
+        return f"{self.socket_path}.w{i}" + (f"g{g}" if g else "")
 
-    def _spawn(self, i: int) -> subprocess.Popen:
+    def _spawn(self, i: int, gen: Optional[int] = None) -> subprocess.Popen:
         argv = [
             *self.argv_prefix,
             "--socket",
-            self.worker_socket(i),
+            self.worker_socket(i, gen),
             *self.worker_args,
         ]
         return subprocess.Popen(
@@ -397,8 +464,62 @@ class ServiceSupervisor:
                 )
         await self.balancer.start_async()
 
+    async def _served_requests(self, i: int) -> int:
+        """Requests served by worker i's CURRENT process (status poll)."""
+        try:
+            resp = await self.backends[i].roundtrip(b'{"command":"status"}\n')
+            st = json.loads(json.loads(resp)["status"])
+            return int(st.get("total_requests", 0))
+        except Exception:
+            return -1
+
+    async def _rotate(self, i: int):
+        """Rolling recycle of worker i: replacement first, then retire."""
+        new_gen = self.gen[i] + 1
+        new_proc = self._spawn(i, new_gen)
+        # until the replacement is promoted into self.procs it would leak
+        # on stop_async()/monitor-cancel mid-boot — track it for cleanup
+        self._booting.add(new_proc)
+        ok = False
+        try:
+            ok = await self._wait_socket(
+                self.worker_socket(i, new_gen), self.boot_timeout
+            )
+        finally:
+            # boot failed, shutdown, or monitor cancelled mid-boot: the
+            # replacement never reaches self.procs, so kill it here
+            self._booting.discard(new_proc)
+            if (not ok or not self.running) and new_proc.poll() is None:
+                new_proc.terminate()
+        if not ok or not self.running:
+            return
+        old_proc = self.procs[i]
+        old_path = self.worker_socket(i)
+        self.gen[i] = new_gen
+        self.procs[i] = new_proc
+        self.backends[i].retarget(self.worker_socket(i))
+        self.recycles += 1
+        # graceful retire: drain via the service's own shutdown command
+        try:
+            r, w = await asyncio.open_unix_connection(old_path)
+            w.write(b'{"command":"shutdown"}\n')
+            await w.drain()
+            await asyncio.wait_for(r.readline(), 10)
+            w.close()
+        except Exception:
+            pass
+        if old_proc is not None:
+            try:
+                await asyncio.get_running_loop().run_in_executor(
+                    None, lambda: old_proc.wait(timeout=15)
+                )
+            except subprocess.TimeoutExpired:
+                old_proc.terminate()
+
     async def monitor(self):
-        """Restart exited workers while running (self-recycle or crash)."""
+        """Restart exited workers (crash recovery) and run rolling recycles
+        (one at a time) when a worker crosses ``recycle_after`` served
+        requests."""
         while self.running:
             for i, p in enumerate(self.procs):
                 if p is not None and p.poll() is not None and self.running:
@@ -408,15 +529,27 @@ class ServiceSupervisor:
                     await self._wait_socket(
                         self.worker_socket(i), self.boot_timeout
                     )
-            await asyncio.sleep(0.3)
+            if self.recycle_after and self.running and not self._rotating:
+                for i in range(self.n):
+                    served = await self._served_requests(i)
+                    if served >= self.recycle_after and self.running:
+                        self._rotating = True
+                        try:
+                            await self._rotate(i)
+                        finally:
+                            self._rotating = False
+                        break  # one rotation per sweep
+            await asyncio.sleep(0.3 if not self.recycle_after else 1.0)
 
     async def stop_async(self):
         self.running = False
         await self.balancer.stop_async()
-        for p in self.procs:
+        procs = list(self.procs) + list(self._booting)
+        self._booting.clear()
+        for p in procs:
             if p is not None and p.poll() is None:
                 p.terminate()
-        for p in self.procs:
+        for p in procs:
             if p is not None:
                 try:
                     p.wait(timeout=10)

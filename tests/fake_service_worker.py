@@ -48,6 +48,8 @@ async def amain(args) -> int:
                     }
                     stopped.set()
                 else:
+                    if args.delay_ms:
+                        await asyncio.sleep(args.delay_ms / 1000.0)
                     total["n"] += 1
                     total["ok"] += 1
                     resp = {
@@ -65,6 +67,8 @@ async def amain(args) -> int:
                 break
         writer.close()
 
+    if args.boot_delay_ms:  # simulate a slow engine warmup
+        await asyncio.sleep(args.boot_delay_ms / 1000.0)
     if os.path.exists(args.socket):
         os.unlink(args.socket)
     server = await asyncio.start_unix_server(handle, path=args.socket)
@@ -83,6 +87,8 @@ def main() -> int:
     p.add_argument("--socket", required=True)
     p.add_argument("--tag", default="w")
     p.add_argument("--recycle-after", type=int, default=0)
+    p.add_argument("--delay-ms", type=float, default=0.0)
+    p.add_argument("--boot-delay-ms", type=float, default=0.0)
     # swallow the real service flags the supervisor passes through
     args, _unknown = p.parse_known_args()
     return asyncio.run(amain(args))

@@ -211,6 +211,128 @@ class TestSupervisorRecycle:
         assert p.wait(timeout=10) == RECYCLE_EXIT_CODE
 
 
+class TestBackendConnectionPool:
+    def test_concurrent_inflight_per_backend(self, tmp_path):
+        """The pooled connections let N requests ride ONE worker
+        concurrently — a single locked connection would serialize them
+        (8×100 ms ≈ 800 ms) and starve worker-side request batching."""
+        sock = str(tmp_path / "pool.sock")
+        sup = ServiceSupervisor(
+            sock,
+            1,
+            worker_args=["--delay-ms", "100"],
+            argv_prefix=fake_prefix(),
+            boot_timeout=20.0,
+        )
+
+        async def go():
+            await sup.start_async()
+            try:
+                t0 = time.monotonic()
+                results = await asyncio.gather(
+                    *[
+                        _client_request(sock, {"command": "recognize"})
+                        for _ in range(8)
+                    ]
+                )
+                dt = time.monotonic() - t0
+                return results, dt
+            finally:
+                await sup.stop_async()
+
+        results, dt = run(go())
+        assert all(r["success"] for r in results)
+        assert dt < 0.45, f"8 concurrent 100 ms requests took {dt:.2f}s"
+
+
+class TestRollingRecycle:
+    def test_supervisor_rotates_replacement_first(self, tmp_path):
+        """recycle_after in supervisor mode = rolling rotation: the
+        replacement worker boots on a generation socket, the backend
+        retargets, the old worker drains via shutdown (exit 0) — requests
+        never fail and capacity never drops to zero."""
+        sock = str(tmp_path / "rot.sock")
+        sup = ServiceSupervisor(
+            sock,
+            1,
+            worker_args=[],
+            argv_prefix=fake_prefix(),
+            boot_timeout=20.0,
+            recycle_after=5,
+        )
+
+        async def go():
+            await sup.start_async()
+            mon = asyncio.get_running_loop().create_task(sup.monitor())
+            try:
+                old_proc = sup.procs[0]
+                results = []
+                deadline = time.monotonic() + 20
+                while sup.recycles == 0 and time.monotonic() < deadline:
+                    r = await _client_request(sock, {"command": "recognize"})
+                    results.append(r.get("success", False))
+                    await asyncio.sleep(0.05)
+                # service stays live after rotation
+                r = await _client_request(sock, {"command": "recognize"})
+                results.append(r.get("success", False))
+                old_rc = old_proc.wait(timeout=10)
+                return results, old_rc
+            finally:
+                mon.cancel()
+                await sup.stop_async()
+
+        results, old_rc = run(go())
+        assert sup.recycles >= 1
+        assert sup.gen[0] >= 1
+        assert sup.backends[0].socket_path.endswith("g1")
+        assert all(results), results  # zero failed requests across rotation
+        assert old_rc == 0  # old worker drained via graceful shutdown
+
+
+class TestRotationShutdownNoOrphan:
+    def test_stop_mid_rotation_kills_booting_replacement(self, tmp_path):
+        """stop_async during a rolling rotation must terminate the
+        still-booting replacement process (regression: it was only
+        promoted into self.procs after its socket appeared, so a
+        mid-boot shutdown orphaned it)."""
+        sock = str(tmp_path / "orph.sock")
+        sup = ServiceSupervisor(
+            sock,
+            1,
+            worker_args=["--boot-delay-ms", "1500"],
+            argv_prefix=fake_prefix(),
+            boot_timeout=30.0,
+            recycle_after=2,
+        )
+
+        async def go():
+            await sup.start_async()
+            mon = asyncio.get_running_loop().create_task(sup.monitor())
+            try:
+                for _ in range(2):
+                    r = await _client_request(sock, {"command": "recognize"})
+                    assert r["success"]
+                deadline = time.monotonic() + 15
+                while not sup._booting and time.monotonic() < deadline:
+                    await asyncio.sleep(0.05)
+                assert sup._booting, "rotation never spawned a replacement"
+                repl = next(iter(sup._booting))
+                return mon, repl
+            except BaseException:
+                mon.cancel()
+                await sup.stop_async()
+                raise
+
+        async def run_all():
+            mon, repl = await go()
+            mon.cancel()
+            await sup.stop_async()
+            return repl
+
+        repl = run(run_all())
+        assert repl.poll() is not None, "replacement process orphaned"
+
+
 class TestRealServiceRecycle:
     def test_service_drains_and_flags_recycled(self, tmp_path):
         """The real OCRIPCService honors recycle_after: replies to the Nth
