@@ -6,7 +6,7 @@ used in the hot path. Every host op has a golden test against values derived
 from the reference C++ semantics (SURVEY.md §7 step 1).
 """
 
-from .resize import cls_resize, crnn_resize, det_resize, rec_width_for_ratio
+from .resize import cls_resize, crnn_resize, det_fit_cap, det_resize, rec_width_for_ratio
 from .normalize import normalize_chw_np, normalize_imagenet_np, pack_batch
 from .ctc import ctc_greedy_decode_np, ctc_topk_device
 from .geometry import (
@@ -33,6 +33,7 @@ __all__ = [
     "crnn_resize",
     "ctc_greedy_decode_np",
     "ctc_topk_device",
+    "det_fit_cap",
     "det_resize",
     "filter_tag_det_res",
     "get_mini_boxes",

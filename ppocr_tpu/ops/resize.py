@@ -62,6 +62,28 @@ def det_resize_shape(
     )
 
 
+def det_fit_cap(
+    img: np.ndarray, ratio_h: float, ratio_w: float, cap: int
+) -> Tuple[np.ndarray, float, float]:
+    """Downscale a det-resized image so both sides fit within ``cap`` (the
+    largest compiled det shape bucket), preserving /32 alignment.
+
+    The serving bucket set covers ``limit_side_len`` so this never engages
+    there; with a truncated bucket set (``--det-buckets 96`` dev/test
+    configs) the fused paths have no exact-shape fallback (compile sets are
+    closed by design), so an oversize image scales down to the cap instead
+    of failing. Input/output ratios are resized/src (det_resize convention).
+    """
+    rh, rw = img.shape[:2]
+    if rh <= cap and rw <= cap:
+        return img, ratio_h, ratio_w
+    scale = cap / max(rh, rw)
+    nh = min(max(int(round(rh * scale / 32) * 32), 32), cap)
+    nw = min(max(int(round(rw * scale / 32) * 32), 32), cap)
+    out = cv2.resize(img, (nw, nh))
+    return out, ratio_h * nh / rh, ratio_w * nw / rw
+
+
 def rec_width_for_ratio(img_h: int, max_wh_ratio: float) -> int:
     """Batch width the recognizer pads to for a given max aspect ratio."""
     return int(img_h * max_wh_ratio)

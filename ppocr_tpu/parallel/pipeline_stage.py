@@ -105,7 +105,7 @@ class CrossChipFusedOCR:
         are fetched in order at the end."""
         import time
 
-        from ..ops import det_resize
+        from ..ops import det_fit_cap, det_resize
         from ..pipeline.config import pick_bucket
         from ..pipeline.fused import FusedOutputs
 
@@ -115,6 +115,9 @@ class CrossChipFusedOCR:
             t_dispatch = time.perf_counter()
             resized, ratio_h, ratio_w = det_resize(
                 image, cfg.det.limit_type, cfg.det.limit_side_len
+            )
+            resized, ratio_h, ratio_w = det_fit_cap(
+                resized, ratio_h, ratio_w, cfg.det.shape_buckets[-1]
             )
             rh, rw = resized.shape[:2]
             bh = pick_bucket(cfg.det.shape_buckets, rh)

@@ -747,7 +747,7 @@ class FusedOCR:
         (ocr_worker.cpp:214) rather than the whole multi-group wall time."""
         import time
 
-        from ..ops import det_resize
+        from ..ops import det_fit_cap, det_resize
         from .config import pick_bucket
 
         cfg = self.engine.config
@@ -761,6 +761,9 @@ class FusedOCR:
         for image, rid in zip(images, request_ids):
             resized, ratio_h, ratio_w = det_resize(
                 image, cfg.det.limit_type, cfg.det.limit_side_len
+            )
+            resized, ratio_h, ratio_w = det_fit_cap(
+                resized, ratio_h, ratio_w, cfg.det.shape_buckets[-1]
             )
             rh, rw = resized.shape[:2]
             bh = pick_bucket(cfg.det.shape_buckets, rh)

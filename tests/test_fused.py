@@ -61,6 +61,26 @@ class TestFused:
         # schema/validity plumbing is pinned here
         assert isinstance(r["words"], list)
 
+    def test_oversize_image_downscales_to_bucket_cap(
+        self, engine, fused, card_image_path
+    ):
+        """An image whose det resize exceeds the largest shape bucket must
+        downscale to fit (det_fit_cap), not crash on the canvas broadcast
+        (regression: `--det-buckets 96` with serving limit_side_len=960
+        raised `could not broadcast (192,384,3) into (96,96,3)`)."""
+        img = cv2.imread(str(card_image_path))
+        old = engine.config.det.limit_side_len
+        engine.config.det.limit_side_len = 960  # resize → 192×384 > cap 96
+        try:
+            r = fused.process(img, 1)
+        finally:
+            engine.config.det.limit_side_len = old
+        assert r["success"] is True
+        assert r["width"] == 391 and r["height"] == 178
+        for w in r["words"]:  # boxes map back to ORIGINAL image coords
+            for x, y in w["box"]:
+                assert -5 <= x <= 396 and -5 <= y <= 183
+
     def test_worker_routes_to_fused(self, engine, card_image_path):
         engine.config.fast_path = True
         w = OCRWorker(engine, worker_id=5)

@@ -251,3 +251,26 @@ class TestGeometry:
     def test_iou(self):
         assert iou_float([0, 0, 10, 10], [5, 5, 15, 15]) == pytest.approx(25 / 175)
         assert iou_float([0, 0, 10, 10], [20, 20, 30, 30]) == 0.0
+
+
+class TestDetFitCap:
+    def test_noop_when_within_cap(self):
+        from ppocr_tpu.ops import det_fit_cap
+
+        img = np.zeros((64, 96, 3), np.uint8)
+        out, rh, rw = det_fit_cap(img, 0.5, 0.5, 96)
+        assert out is img and rh == 0.5 and rw == 0.5
+
+    def test_downscale_keeps_32_alignment_and_ratios(self):
+        from ppocr_tpu.ops import det_fit_cap, det_resize
+
+        src = np.zeros((178, 391, 3), np.uint8)
+        resized, rh, rw = det_resize(src, "max", 960)  # → 192×384
+        assert resized.shape[:2] == (192, 384)
+        out, nrh, nrw = det_fit_cap(resized, rh, rw, 96)
+        oh, ow = out.shape[:2]
+        assert oh <= 96 and ow <= 96
+        assert oh % 32 == 0 and ow % 32 == 0
+        # ratios stay resized/src so boxes map back to source coords
+        assert nrh == pytest.approx(oh / 178)
+        assert nrw == pytest.approx(ow / 391)
