@@ -34,10 +34,14 @@ CARD = os.environ.get(
 ITERS = int(os.environ.get("PPOCR_BENCH_ITERS", "50"))
 
 
-def _trained_accuracy(n_scenes: int = 8):
-    """(exact_match, gate_name) of rendered lines read back through the
-    staged pipeline with the bundled trained det+rec weights (the e2e
-    accuracy loop of tests/test_e2e_trained*.py, measured on this chip).
+def _trained_accuracy(n_scenes: int = 16):
+    """(exact_match, homoglyph_normalized_match, gate_name) of rendered
+    lines read back through the staged pipeline with the bundled trained
+    det+rec weights (the e2e accuracy loop of tests/test_e2e_trained*.py,
+    measured on this chip). Raw exactness counts DejaVu homoglyph flips
+    (Sans draws 'l'/'I' as the same bar) as misses; the normalized number
+    scores up to train.synthetic.HOMOGLYPHS families and is the stable
+    regression signal.
 
     Prefers the multi-class printable-ASCII weights (94 trained classes
     scattered across the 6,625-way head — VERDICT r2 missing #1); falls
@@ -60,7 +64,7 @@ def _trained_accuracy(n_scenes: int = 8):
         det_w = os.path.join(here, "weights", "det_synthetic_digits.npz")
         rec_w = os.path.join(here, "weights", "rec_scene_digits.npz")
     if not (os.path.exists(det_w) and os.path.exists(rec_w)):
-        return None, None
+        return None, None, None
     with tempfile.TemporaryDirectory() as md:
         for name in ("det", "cls", "rec"):
             os.makedirs(os.path.join(md, name))
@@ -102,12 +106,14 @@ def _trained_accuracy(n_scenes: int = 8):
             ds = text_scene_dataset("ascii", seed=424)
         else:
             ds = SyntheticSceneDataset(seed=424)
-        total = exact = 0
+        from ppocr_tpu.train.synthetic import homoglyph_normalize
+
+        total = exact = norm_exact = 0
         for s in range(n_scenes):
             scene, placed = ds.sample_scene()
             r = worker.process(scene, s)
             if not r.get("success"):
-                return None, gate
+                return None, None, gate
             for t, (x0, y0, x1, y1) in placed:
                 best, biou = None, 0.2
                 for word in r["words"]:
@@ -128,7 +134,15 @@ def _trained_accuracy(n_scenes: int = 8):
                 total += 1
                 if best is not None and best["text"] == t:
                     exact += 1
-        return round(exact / max(total, 1), 4), gate
+                if best is not None and homoglyph_normalize(
+                    best["text"]
+                ) == homoglyph_normalize(t):
+                    norm_exact += 1
+        return (
+            round(exact / max(total, 1), 4),
+            round(norm_exact / max(total, 1), 4),
+            gate,
+        )
 
 
 def run_bench() -> dict:
@@ -272,9 +286,9 @@ def run_bench() -> dict:
     # e2e accuracy with the bundled in-repo-trained weights: real OCR on
     # this chip (det finds rendered text lines, rec reads them back);
     # None when the weight bundles are absent
-    trained_acc, trained_gate = None, None
+    trained_acc, trained_norm_acc, trained_gate = None, None, None
     try:
-        trained_acc, trained_gate = _trained_accuracy()
+        trained_acc, trained_norm_acc, trained_gate = _trained_accuracy()
     except Exception:
         pass
 
@@ -303,6 +317,7 @@ def run_bench() -> dict:
                 k for k, v in engine.random_weights.items() if v
             ],
             "trained_weights_e2e_exact_match": trained_acc,
+            "trained_weights_e2e_homoglyph_norm_match": trained_norm_acc,
             "trained_gate": trained_gate,
         },
     }
@@ -341,6 +356,18 @@ def check_regressions(result: dict, good: dict) -> list:
             elif same_gate and acc < good_acc - 0.02:
                 fails.append(
                     f"trained e2e exact-match {acc} < good {good_acc} - 0.02"
+                )
+        good_norm = good.get("extra", {}).get(
+            "trained_weights_e2e_homoglyph_norm_match"
+        )
+        norm = extra.get("trained_weights_e2e_homoglyph_norm_match")
+        if good_norm is not None and norm is not None and same_gate:
+            # the homoglyph-normalized number is immune to l/I coin flips,
+            # so it gets a tighter band than the raw one
+            if norm < good_norm - 0.01:
+                fails.append(
+                    f"homoglyph-normalized e2e match {norm} < good "
+                    f"{good_norm} - 0.01"
                 )
     return fails
 

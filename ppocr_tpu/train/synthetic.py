@@ -81,6 +81,26 @@ def dejavu_alphabet(
     return "".join(alphabet)
 
 
+# Character families that are visually identical or near-identical in the
+# DejaVu faces (Sans draws 'l' and 'I' as the same bare bar; O/0/Greek
+# omicron coincide at small sizes). Misreads inside a family are
+# irreducible from pixels alone — accuracy gates and the bench score both
+# raw exactness and exactness up to these homoglyphs.
+HOMOGLYPHS = [
+    "lI|∣│▏▕",
+    "O0Ο○",
+    "′´`ˋ‘’",
+    "─—–-−",
+    '"”“',
+]
+_HOMO_MAP = {c: fam[0] for fam in HOMOGLYPHS for c in fam}
+
+
+def homoglyph_normalize(text: str) -> str:
+    """Collapse each DejaVu homoglyph family to one representative."""
+    return "".join(_HOMO_MAP.get(c, c) for c in text)
+
+
 def text_scene_dataset(mode: str, seed: int = 0, **kw) -> "SyntheticSceneDataset":
     """Canonical PIL scene dataset for the multi-class trained-weight
     gates — ONE definition of the distribution shared by the training
@@ -370,7 +390,13 @@ class SyntheticSceneDataset:
         x0, y0, x1, y1 = box
         h = y1 - y0
         if jitter:
-            m = [float(self.rng.uniform(0.10, 0.45) * h) for _ in range(4)]
+            # 25% of crops model the LOOSE boxes coarse-scale det emits:
+            # at a 96 px det input a ~13 px blob's unclip overshoots to
+            # ~0.8×h margins (measured: gt (21,5)-(47,34) → det box
+            # (0,0)-(70,46)), which dropped edge glyphs from a recognizer
+            # trained only on ≤0.45×h margins ('l[' read as '[')
+            lo, hi = (0.30, 1.00) if self.rng.random() < 0.25 else (0.10, 0.45)
+            m = [float(self.rng.uniform(lo, hi) * h) for _ in range(4)]
         else:
             m = [0.25 * h] * 4
         sh, sw = scene.shape[:2]

@@ -224,23 +224,10 @@ class TestWideLineGate:
         assert fused_texts == [text], fused_texts
 
 
-# character families that are visually identical or near-identical in the
-# DejaVu faces (Sans draws 'l' and 'I' as the same bare bar; O/0/Greek
-# omicron coincide at small sizes) — misreads inside a family are
-# irreducible from pixels alone, so the full-charset gates score both raw
-# exactness and exactness up to these homoglyphs
-_HOMOGLYPHS = [
-    "lI|∣│▏▕",
-    "O0Ο○",
-    "′´`ˋ‘’",
-    "─—–-−",
-    '"”“',
-]
-_HOMO_MAP = {c: fam[0] for fam in _HOMOGLYPHS for c in fam}
-
-
-def _homo(text: str) -> str:
-    return "".join(_HOMO_MAP.get(c, c) for c in text)
+# misreads inside a DejaVu homoglyph family are irreducible from pixels
+# alone, so the full-charset gates score both raw exactness and exactness
+# up to homoglyphs (families defined once in train.synthetic.HOMOGLYPHS)
+from ppocr_tpu.train.synthetic import homoglyph_normalize as _homo
 
 
 @needs_full
