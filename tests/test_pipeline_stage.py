@@ -104,3 +104,30 @@ def test_worker_routes_to_cross_chip(reference_models):
         x["text"] for x in base["words"]
     ]
     assert [x["box"] for x in r["words"]] == [x["box"] for x in base["words"]]
+
+
+def test_oversize_image_downscales_to_bucket_cap(engine):
+    """An image whose det resize exceeds the largest shape bucket must
+    downscale to fit (ops.det_fit_cap) on the cross-chip path too, and
+    still equal the single-chip fused result (same regression as
+    tests/test_fused.py: broadcast crash with truncated bucket sets)."""
+    import jax
+
+    devs = jax.devices()
+    staged = CrossChipFusedOCR(engine, devs[0], devs[1])
+    fused = engine.fused_ocr()
+    img = _text_img(5)
+    old = engine.config.det.limit_side_len
+    engine.config.det.limit_side_len = 960  # resize → 128×256 > cap 96
+    try:
+        base = fused.process(img, 1)
+        got = staged.process_stream([img], [1])[0]
+    finally:
+        engine.config.det.limit_side_len = old
+    assert got["success"] is True
+    assert [w["text"] for w in got["words"]] == [
+        w["text"] for w in base["words"]
+    ]
+    assert [w["box"] for w in got["words"]] == [
+        w["box"] for w in base["words"]
+    ]
