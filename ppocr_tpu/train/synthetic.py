@@ -89,6 +89,7 @@ def dejavu_alphabet(
 HOMOGLYPHS = [
     "lI|∣│▏▕",
     "O0Ο○",
+    "3З",  # Cyrillic Ze — drawn as '3' in the DejaVu faces
     "′´`ˋ‘’",
     "─—–-−",
     '"”“',
@@ -390,13 +391,20 @@ class SyntheticSceneDataset:
         x0, y0, x1, y1 = box
         h = y1 - y0
         if jitter:
-            # 25% of crops model the LOOSE boxes coarse-scale det emits:
+            # 20% of crops model the LOOSE boxes coarse-scale det emits:
             # at a 96 px det input a ~13 px blob's unclip overshoots to
             # ~0.8×h margins (measured: gt (21,5)-(47,34) → det box
             # (0,0)-(70,46)), which dropped edge glyphs from a recognizer
-            # trained only on ≤0.45×h margins ('l[' read as '[')
-            lo, hi = (0.30, 1.00) if self.rng.random() < 0.25 else (0.10, 0.45)
-            m = [float(self.rng.uniform(lo, hi) * h) for _ in range(4)]
+            # trained only on ≤0.45×h margins ('l[' read as '['). The loose
+            # margins are CORRELATED across sides (one base ± 25%/side,
+            # like the uniform unclip expansion that causes them): fully
+            # independent loose margins destroy the glyph-height-vs-crop-
+            # height cue and cost case accuracy (X↔x) on the fused path.
+            if self.rng.random() < 0.20:
+                base = float(self.rng.uniform(0.30, 0.90))
+                m = [base * float(self.rng.uniform(0.75, 1.25)) * h for _ in range(4)]
+            else:
+                m = [float(self.rng.uniform(0.10, 0.45) * h) for _ in range(4)]
         else:
             m = [0.25 * h] * 4
         sh, sw = scene.shape[:2]
