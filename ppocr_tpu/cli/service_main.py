@@ -23,7 +23,14 @@ from .common import resolve_socket_path
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
-        prog="ocr-service", description="TPU-native PP-OCR IPC service"
+        prog="ocr-service",
+        description="TPU-native PP-OCR IPC service",
+        # abbreviations are forbidden: the supervisor strips flags from
+        # worker argv by EXACT name ('--processes', '--socket',
+        # '--recycle-after'); an accepted abbreviation like '--proc 4'
+        # would survive the strip and make every worker re-spawn its own
+        # supervisor (a fork bomb)
+        allow_abbrev=False,
     )
     p.add_argument("--model-dir", default="./models", help="model directory (det/ cls/ rec/)")
     p.add_argument(
@@ -228,18 +235,6 @@ async def _amain(args) -> int:
         config.fused_max_boxes = args.max_boxes
     config.fused_rotated_boxes = bool(args.rotated_boxes)
     config.cross_chip = bool(args.cross_chip)
-    if config.cross_chip and not config.fast_path:
-        print("--cross-chip requires the fused path (drop --staged)", flush=True)
-        return 2
-    if config.cross_chip and args.batch_requests > 1:
-        # the batching dispatcher serves the single-chip fused step; a
-        # silently ignored --cross-chip would mislead (ADVICE r2)
-        print(
-            "--cross-chip is incompatible with --batch-requests > 1 "
-            "(cross-request batching uses the single-chip fused step)",
-            flush=True,
-        )
-        return 2
     config.rec.decode = args.rec_decode
     config.rec.beam_size = args.beam_size
     if args.batch_requests > 1 and config.fast_path:
@@ -252,6 +247,22 @@ async def _amain(args) -> int:
         import json as _json
 
         apply_config_overrides(config, _json.load(open(args.config)))
+
+    # feature-combination invariants checked on the FINAL config state —
+    # after the config-file overrides, which could otherwise reintroduce
+    # exactly the combinations these guards exist to reject
+    if config.cross_chip and not config.fast_path:
+        print("--cross-chip requires the fused path (drop --staged)", flush=True)
+        return 2
+    if config.cross_chip and max(config.request_batch_buckets or (1,)) > 1:
+        # the batching dispatcher serves the single-chip fused step; a
+        # silently ignored --cross-chip would mislead (ADVICE r2)
+        print(
+            "--cross-chip is incompatible with --batch-requests > 1 "
+            "(cross-request batching uses the single-chip fused step)",
+            flush=True,
+        )
+        return 2
 
     print(f"Loading models from {args.model_dir} ...", flush=True)
     engine = None

@@ -42,6 +42,11 @@ from typing import Dict, List, Optional
 
 RECYCLE_EXIT_CODE = 3
 MAX_LINE = 1048576 + 65536
+# backend (worker-facing) channels use a far larger line limit: the 1 MB
+# guard is a REQUEST-size parity rule; responses are unbounded by design
+# (service.py deliberately drops the reference's response cap) and a dense
+# page's word list can exceed 1 MB of JSON
+BACKEND_MAX_LINE = 64 * 1048576
 
 
 class Backend:
@@ -72,23 +77,39 @@ class Backend:
         return self._open > 0
 
     async def _acquire(self, timeout: float = 5.0):
+        deadline = time.monotonic() + timeout
         while True:
             if self._free.empty() and self._open < self.pool_size:
                 self._open += 1
+                # capture BEFORE the await: a retarget() during the connect
+                # must leave this channel (to the old socket) epoch-stale
+                epoch = self._epoch
                 try:
                     r, w = await asyncio.wait_for(
                         asyncio.open_unix_connection(
-                            self.socket_path, limit=MAX_LINE
+                            self.socket_path, limit=BACKEND_MAX_LINE
                         ),
                         timeout,
                     )
-                    return (r, w, self._epoch)
+                    return (r, w, epoch)
                 except (OSError, asyncio.TimeoutError) as e:
                     self._open -= 1
                     raise ConnectionError(
                         f"backend {self.socket_path} down: {e}"
                     )
-            ch = await self._free.get()
+            try:
+                # bounded wait, then re-check capacity: _discard() frees
+                # capacity without waking queue waiters, so an unbounded
+                # get() could sleep forever after a worker crash drains
+                # the pool
+                ch = await asyncio.wait_for(self._free.get(), 0.25)
+            except asyncio.TimeoutError:
+                if time.monotonic() >= deadline:
+                    raise ConnectionError(
+                        f"backend {self.socket_path}: no channel within "
+                        f"{timeout:.0f}s"
+                    )
+                continue
             if ch[2] == self._epoch and not ch[1].is_closing():
                 return ch
             self._discard(ch)  # stale epoch/closed; make/get another
@@ -125,6 +146,12 @@ class Backend:
         while not self._free.empty():
             self._discard(self._free.get_nowait())
 
+    # generous per-exchange bound: the worker enforces its own per-request
+    # timeout well under this; the bound exists so a wedged exchange (e.g.
+    # a truncated line the worker will wait on forever) cannot leak a pool
+    # slot permanently
+    io_timeout = 120.0
+
     async def roundtrip(self, line: bytes) -> bytes:
         """One request-reply exchange on a pooled connection; up to
         ``pool_size`` exchanges run concurrently per backend."""
@@ -133,7 +160,7 @@ class Backend:
         try:
             writer.write(line)
             await writer.drain()
-            resp = await reader.readline()
+            resp = await asyncio.wait_for(reader.readline(), self.io_timeout)
             if not resp:
                 raise ConnectionError("backend closed connection")
         except Exception:
@@ -162,13 +189,6 @@ class OCRBalancer:
         self.on_shutdown = None  # supervisor hook
 
     # -- routing -----------------------------------------------------------
-
-    def _pick(self) -> Optional[Backend]:
-        """Least-inflight live backend; falls back to any backend (it may
-        just be restarting and will accept by the time we connect)."""
-        live = [b for b in self.backends if b.connected]
-        pool = live or self.backends
-        return min(pool, key=lambda b: b.inflight) if pool else None
 
     # requests ride out a worker restart up to this long before erroring
     # (a --recycle-after relaunch with a warm XLA cache is seconds)
@@ -282,6 +302,11 @@ class OCRBalancer:
                     break
                 if not line:
                     break
+                if not line.endswith(b"\n"):
+                    # client died mid-write (EOF without separator) — a
+                    # forwarded partial line would make the worker wait
+                    # forever for the newline and wedge a pool channel
+                    break
                 cmd = None
                 # only small lines can be status/shutdown; parsing a ~300 KB
                 # base64 recognize line here would double the JSON cost per
@@ -386,9 +411,6 @@ class ServiceSupervisor:
         self._rotating = False
         self._booting: set = set()  # replacement procs not yet promoted
         self.gen = [0] * n_processes
-        # served-request baseline per worker (reset at each rotation —
-        # worker counters restart from 0 in the replacement process)
-        self._served = [0] * n_processes
         # how to launch one worker (overridable for hermetic tests)
         self.argv_prefix = argv_prefix or [
             sys.executable,
@@ -525,10 +547,13 @@ class ServiceSupervisor:
                 if p is not None and p.poll() is not None and self.running:
                     self.restarts += 1
                     await asyncio.sleep(self.restart_delay)
+                    if not self.running:  # shutdown landed during the sleep
+                        break
                     self.procs[i] = self._spawn(i)
-                    await self._wait_socket(
-                        self.worker_socket(i), self.boot_timeout
-                    )
+                    # no socket wait here: _forward's failover/retry covers
+                    # the boot window, and a monitor blocked for one boot
+                    # (up to --boot-timeout) would stall every other
+                    # crash restart and all rolling recycles
             if self.recycle_after and self.running and not self._rotating:
                 for i in range(self.n):
                     served = await self._served_requests(i)

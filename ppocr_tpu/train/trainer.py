@@ -191,8 +191,13 @@ class BatchPrefetcher:
 
     def close(self):
         self._stop.set()
-        while not self._q.empty():  # unblock the producer
+        # drain (unblocks a producer stuck in put) AND join: callers touch
+        # the shared dataset right after close() (eval batches on the same
+        # numpy Generator), so the producer must have fully exited, not
+        # merely been signalled, before close() returns
+        while self._t.is_alive():
             try:
                 self._q.get_nowait()
             except Exception:
-                break
+                pass
+            self._t.join(timeout=0.05)

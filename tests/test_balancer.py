@@ -393,3 +393,74 @@ class TestBackendUnavailable:
         r = run(go())
         assert r["success"] is False
         assert "unavailable" in r["error"].lower()
+
+
+class TestReviewFixes:
+    """Regression tests for the round-3 self-review findings."""
+
+    def test_partial_line_client_does_not_wedge_pool(self, tmp_path):
+        """A client that dies mid-write (EOF without the newline) must not
+        have its partial line forwarded — the worker would wait forever
+        for the separator and permanently wedge a pooled channel."""
+        sock = str(tmp_path / "part.sock")
+        sup = ServiceSupervisor(
+            sock, 1, worker_args=[], argv_prefix=fake_prefix(),
+            boot_timeout=20.0,
+        )
+
+        async def go():
+            await sup.start_async()
+            try:
+                r, w = await asyncio.open_unix_connection(sock)
+                w.write(b'{"command":"recognize"')  # no newline
+                await w.drain()
+                w.close()  # EOF mid-line
+                # service still fully live for well-formed clients
+                resp = await asyncio.wait_for(
+                    _client_request(sock, {"command": "recognize"}), 10
+                )
+                return resp
+            finally:
+                await sup.stop_async()
+
+        resp = run(go())
+        assert resp["success"] is True
+
+    def test_acquire_times_out_when_pool_capacity_lost(self):
+        """Waiters blocked on the free-channel queue must honor the
+        acquire timeout even when _discard() frees capacity without a
+        queue put (worker crash drains the pool)."""
+        b = Backend("/tmp/nonexistent-balancer-test.sock", pool_size=1)
+
+        async def go():
+            b._open = 1  # simulate a held channel (no queue entry)
+            t0 = time.monotonic()
+            with pytest.raises(ConnectionError):
+                await b._acquire(timeout=0.6)
+            return time.monotonic() - t0
+
+        dt = run(go())
+        assert dt < 5.0  # raised near the timeout, not hung
+
+    def test_abbreviated_flags_rejected(self):
+        """argparse abbreviations must be off: an accepted '--proc 4'
+        would survive the supervisor's exact-name strip and make every
+        worker re-spawn its own supervisor (fork bomb)."""
+        from ppocr_tpu.cli.service_main import build_parser
+
+        with pytest.raises(SystemExit):
+            build_parser().parse_args(["--proc", "4"])
+
+    def test_config_override_cannot_reintroduce_invalid_combo(self, tmp_path):
+        """--config overrides apply before the feature-combination guards:
+        a config file flipping fast_path off under --cross-chip must be
+        rejected with the clean exit 2, not an opaque later failure."""
+        from ppocr_tpu.cli.service_main import main
+
+        cfg = tmp_path / "cfg.json"
+        cfg.write_text('{"fast_path": false}')
+        rc = main([
+            "--cross-chip", "--config", str(cfg),
+            "--socket", str(tmp_path / "x.sock"),
+        ])
+        assert rc == 2
