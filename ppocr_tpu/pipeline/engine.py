@@ -209,6 +209,17 @@ class OCREngine:
             else None
         )
         self.rec_params = self._load_one("rec", convert_rec_params)
+        # custom-charset bundles (train/finetune.py export convention) carry
+        # their own keys file; a head/charset size mismatch would silently
+        # garble decodes (or IndexError mid-request), so fail at load
+        head = self.rec_params["head"]["fc"]["b"].shape[0]
+        if head != len(self.charset):
+            raise ValueError(
+                f"rec head emits {head} classes but the charset file "
+                f"defines {len(self.charset)} (keys + blank + space, "
+                "ocr_rec.h:82-84) — weights.npz and ppocr_keys_v1.txt in "
+                f"{self.model_dir}/rec are from different bundles"
+            )
 
     # -- jitted steps ------------------------------------------------------
 

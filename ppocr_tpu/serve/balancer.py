@@ -470,10 +470,17 @@ class ServiceSupervisor:
         # concurrent compiles on one host core would thrash (later boots
         # hit the persistent cache and are cheap)
         for i in range(self.n):
+            t0 = time.monotonic()
             self.procs[i] = self._spawn(i)
             ok = await self._wait_socket(
                 self.worker_socket(i), self.boot_timeout
             )
+            if ok:
+                print(
+                    f"worker {i + 1}/{self.n} ready in "
+                    f"{time.monotonic() - t0:.0f}s",
+                    flush=True,
+                )
             if not ok:
                 # don't leave half-booted workers compiling in the dark
                 for p in self.procs:

@@ -81,6 +81,167 @@ def dejavu_alphabet(
     return "".join(alphabet)
 
 
+# -- jumbo charset: reference-SCALE class counts from DejaVu coverage ------
+#
+# The reference serves a 6,623-entry dict (ppocr_keys_v1.txt, mostly CJK —
+# no CJK-capable font exists in this environment), so the 218-class "full"
+# alphabet above is the largest reference-charset slice that can be
+# *rendered* here. To exercise the CTC head, charset indexing, and
+# inter-class confusion at the reference's SCALE, the jumbo charset instead
+# takes every character the DejaVu faces can draw unambiguously: ~5,000
+# classes, served through the custom-charset bundle path the finetune
+# recipe exports (train/finetune.py — weights.npz + its own keys file).
+
+# categories that render as nothing, reorder, or compose with neighbours:
+# controls/format/surrogate/private/unassigned, line/para separators and
+# spaces (space is appended as the final class by the dict loader,
+# ocr_rec.h:84), and combining marks (raqm would attach them to the
+# previous glyph, breaking the 1 char = 1 label-position CTC assumption)
+_JUMBO_SKIP_CATEGORIES = frozenset(
+    {"Cc", "Cf", "Cs", "Co", "Cn", "Zl", "Zp", "Zs", "Mn", "Mc", "Me"}
+)
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+JUMBO_KEYS_FILE = os.path.join(_REPO_ROOT, "weights", "jumbo_keys.txt")
+JUMBO_HOMOGLYPHS_FILE = os.path.join(
+    _REPO_ROOT, "weights", "jumbo_homoglyphs.txt"
+)
+
+
+def _tight_render_hash(ch: str, font) -> Optional[bytes]:
+    """Hash of the tight ink bitmap of ``ch`` drawn alone, or None if it
+    draws no ink. Deterministic (fixed origin, no hinting variance across
+    calls), so two codepoints hash equal iff their renders are
+    pixel-identical."""
+    import hashlib
+
+    from PIL import Image, ImageDraw
+
+    img = Image.new("L", (120, 90), 255)
+    d = ImageDraw.Draw(img)
+    d.text((30, 25), ch, font=font, fill=0)
+    a = np.asarray(img)
+    ys, xs = np.nonzero(a < 128)
+    if ys.size == 0:
+        return None
+    t = a[ys.min() : ys.max() + 1, xs.min() : xs.max() + 1]
+    return hashlib.md5(
+        t.tobytes() + str(t.shape).encode("ascii")
+    ).digest()
+
+
+@functools.lru_cache(maxsize=None)
+def build_jumbo_alphabet() -> str:
+    """Compute the jumbo alphabet from the fonts (~12 s): DejaVuSans cmap,
+    category/bidi-filtered, ink-checked. Prefer :func:`jumbo_alphabet`,
+    which loads the pinned ``weights/jumbo_keys.txt`` artifact."""
+    import unicodedata
+
+    from PIL import ImageFont
+
+    cov = sorted(_font_charset(os.path.join(DEJAVU_DIR, "DejaVuSans.ttf")))
+    font = ImageFont.truetype(os.path.join(DEJAVU_DIR, "DejaVuSans.ttf"), 32)
+    out = []
+    for cp in cov:
+        ch = chr(cp)
+        if cp < 0x21:
+            continue
+        if unicodedata.category(ch) in _JUMBO_SKIP_CATEGORIES:
+            continue
+        # RTL scripts: PIL+raqm bidi-reorders them at draw time, so the
+        # drawn glyph order would not match the label string order
+        if unicodedata.bidirectional(ch) in ("R", "AL", "AN"):
+            continue
+        if _tight_render_hash(ch, font) is None:
+            continue
+        out.append(ch)
+    return "".join(out)
+
+
+def jumbo_alphabet(keys_file: str = JUMBO_KEYS_FILE) -> str:
+    """The pinned jumbo charset body (~5,000 chars; one char per line in
+    the ppocr_keys_v1.txt convention). Falls back to computing it from the
+    fonts when the artifact is absent (fresh checkout before
+    ``scripts/make_jumbo_charset.py`` has run)."""
+    if os.path.exists(keys_file):
+        return "".join(
+            line.rstrip("\n")
+            for line in open(keys_file, encoding="utf-8")
+            if line.rstrip("\n")
+        )
+    return build_jumbo_alphabet()
+
+
+def render_glyph_families(alphabet: str) -> List[str]:
+    """Group ``alphabet`` into families of characters whose *tight renders
+    are pixel-identical in at least one DejaVu face* (math-alphanumeric
+    clones of ASCII, cross-script capitals like A/Α/А/Ꭺ, duplicated
+    symbols). A recognizer cannot distinguish family members of a sample
+    rendered in that face even in principle, so accuracy gates score both
+    raw and family-normalized exactness. Curated *near*-identical pairs
+    (HOMOGLYPHS: l/I bars, O/0) are merged in on top.
+
+    Returns only multi-member families, each as a string of members with
+    the representative (lowest codepoint) first."""
+    from PIL import ImageFont
+
+    parent = {c: c for c in alphabet}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for face in DEJAVU_FONTS:
+        path = os.path.join(DEJAVU_DIR, face)
+        covered = _font_charset(path)
+        font = ImageFont.truetype(path, 32)
+        first: Dict[bytes, str] = {}
+        for ch in alphabet:
+            if ord(ch) not in covered:
+                continue
+            h = _tight_render_hash(ch, font)
+            if h is None:
+                continue
+            if h in first:
+                union(ch, first[h])
+            else:
+                first[h] = ch
+    for fam in HOMOGLYPHS:
+        members = [c for c in fam if c in parent]
+        for c in members[1:]:
+            union(members[0], c)
+    groups: Dict[str, List[str]] = {}
+    for c in alphabet:
+        groups.setdefault(find(c), []).append(c)
+    return sorted(
+        "".join(sorted(set(v), key=ord)) for v in groups.values() if len(set(v)) > 1
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def jumbo_homoglyph_map(
+    families_file: str = JUMBO_HOMOGLYPHS_FILE,
+) -> Dict[str, str]:
+    """char → family representative, from the pinned families artifact
+    (computed from the fonts if absent). Includes the curated HOMOGLYPHS."""
+    if os.path.exists(families_file):
+        fams = [
+            line.rstrip("\n")
+            for line in open(families_file, encoding="utf-8")
+            if line.rstrip("\n")
+        ]
+    else:
+        fams = render_glyph_families(jumbo_alphabet())
+    return {c: fam[0] for fam in fams for c in fam}
+
+
 # Character families that are visually identical or near-identical in the
 # DejaVu faces (Sans draws 'l' and 'I' as the same bare bar; O/0/Greek
 # omicron coincide at small sizes). Misreads inside a family are
@@ -97,18 +258,26 @@ HOMOGLYPHS = [
 _HOMO_MAP = {c: fam[0] for fam in HOMOGLYPHS for c in fam}
 
 
-def homoglyph_normalize(text: str) -> str:
-    """Collapse each DejaVu homoglyph family to one representative."""
-    return "".join(_HOMO_MAP.get(c, c) for c in text)
+def homoglyph_normalize(text: str, mapping: Optional[Dict[str, str]] = None) -> str:
+    """Collapse each DejaVu homoglyph family to one representative.
+
+    With no ``mapping`` this uses the curated ~218-class families
+    (HOMOGLYPHS); pass :func:`jumbo_homoglyph_map` for the jumbo charset's
+    computed families."""
+    m = _HOMO_MAP if mapping is None else mapping
+    return "".join(m.get(c, c) for c in text)
 
 
 def text_scene_dataset(mode: str, seed: int = 0, **kw) -> "SyntheticSceneDataset":
     """Canonical PIL scene dataset for the multi-class trained-weight
     gates — ONE definition of the distribution shared by the training
     scripts, the e2e gate tests, and the bench accuracy probe (so they
-    cannot drift apart). ``mode``: "ascii" (94 classes) or "full"
-    (~218 classes)."""
-    alpha = dejavu_alphabet(ascii_only=mode == "ascii")
+    cannot drift apart). ``mode``: "ascii" (94 classes), "full"
+    (~218 classes), or "jumbo" (~5,000 classes, custom-charset bundle)."""
+    if mode == "jumbo":
+        alpha = jumbo_alphabet()
+    else:
+        alpha = dejavu_alphabet(ascii_only=mode == "ascii")
     kw.setdefault("max_len", 6)
     kw.setdefault("core_alphabet", "".join(c for c in alpha if c.isalnum()))
     return SyntheticSceneDataset(
@@ -238,19 +407,23 @@ class SyntheticSceneDataset:
         self.core_alphabet = core_alphabet
         self.core_frac = core_frac
         self.rng = np.random.default_rng(seed)
+        # cached char arrays: rng.choice(list(...)) re-built a 5,000-element
+        # list per sampled char (60% of jumbo render time); choice on a
+        # pre-built array draws the IDENTICAL rng stream (same underlying
+        # integers call), so every seeded scene is unchanged
+        self._alpha_arr = np.array(list(alphabet))
+        self._core_arr = (
+            np.array(list(core_alphabet)) if core_alphabet else None
+        )
 
     def sample_text(self) -> str:
         n = int(self.rng.integers(self.min_len, self.max_len + 1))
         if not self.core_alphabet:
-            return "".join(self.rng.choice(list(self.alphabet), size=n))
+            return "".join(self.rng.choice(self._alpha_arr, size=n))
         core = self.rng.random(n) < self.core_frac
         core[int(self.rng.integers(n))] = True  # ≥1 solid anchor char
         return "".join(
-            str(
-                self.rng.choice(
-                    list(self.core_alphabet if c else self.alphabet)
-                )
-            )
+            str(self.rng.choice(self._core_arr if c else self._alpha_arr))
             for c in core
         )
 

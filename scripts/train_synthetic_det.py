@@ -85,12 +85,14 @@ def main() -> int:
     p.add_argument("--eval-scenes", type=int, default=32)
     p.add_argument(
         "--alphabet",
-        choices=["digits", "ascii", "full"],
+        choices=["digits", "ascii", "full", "jumbo"],
         default="digits",
         help="digits = cv2 Hershey digit lines (round-2 demo weights); "
         "ascii = PIL/DejaVu printable-ASCII lines (94 classes); full = "
         "ascii + the DejaVu-coverable reference-charset symbols "
-        "(~218 classes)",
+        "(~218 classes); jumbo = every DejaVu-drawable char (~5,000 "
+        "classes — det is class-agnostic, this just widens the glyph-"
+        "shape distribution)",
     )
     p.add_argument("--max-len", type=int, default=None,
                    help="max chars per rendered line (default: 5 digits, 6 otherwise)")

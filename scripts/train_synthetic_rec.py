@@ -38,15 +38,25 @@ def main() -> int:
     )
     p.add_argument(
         "--alphabet",
-        choices=["digits", "ascii", "full"],
+        choices=["digits", "ascii", "full", "jumbo"],
         default="digits",
         help="digits = cv2 Hershey digit lines (round-2 demo weights); "
         "ascii = PIL/DejaVu printable-ASCII (94 classes); full = ascii + "
-        "DejaVu-coverable reference-charset symbols (~218 classes) — all "
-        "trained against the full 6,625-way CTC head",
+        "DejaVu-coverable reference-charset symbols (~218 classes) — both "
+        "trained against the full 6,625-way CTC head; jumbo = every "
+        "DejaVu-drawable char (~5,000 classes, reference-SCALE) against a "
+        "surgically-resized head + the pinned weights/jumbo_keys.txt "
+        "custom charset (finetune-recipe bundle convention)",
     )
     p.add_argument("--max-len", type=int, default=None)
     p.add_argument("--eval-batches", type=int, default=1)
+    p.add_argument(
+        "--init-weights",
+        default=None,
+        help="warm-start from an npz bundle (backbone transfer; the CTC "
+        "head is re-initialized whenever its size differs from the "
+        "target charset — train/finetune.py reinit_ctc_head)",
+    )
     p.add_argument("--out", default="/tmp/rec_synthetic.npz")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
@@ -69,7 +79,17 @@ def main() -> int:
     from ppocr_tpu.models import rec_forward
 
     enable_persistent_cache()
-    charset = load_charset("/root/reference/models/rec/ppocr_keys_v1.txt")
+    if args.alphabet == "jumbo":
+        # reference-SCALE custom charset (~5,000 classes): surgically-sized
+        # head + the pinned weights/jumbo_keys.txt bundle convention
+        if not args.scene_crops:
+            p.error("--alphabet jumbo requires --scene-crops (PIL renderer)")
+        from ppocr_tpu.train.finetune import charset_classes
+        from ppocr_tpu.train.synthetic import jumbo_alphabet
+
+        charset = charset_classes(list(jumbo_alphabet()))
+    else:
+        charset = load_charset("/root/reference/models/rec/ppocr_keys_v1.txt")
     def make_scenes():
         if args.alphabet != "digits":
             from ppocr_tpu.train.synthetic import text_scene_dataset
@@ -108,7 +128,17 @@ def main() -> int:
     # cosine decay to ~0 sharpens late-stage character accuracy
     schedule = optax.cosine_decay_schedule(args.lr, args.steps, alpha=0.02)
     _, init_fn, step_fn = make_train_step(mesh, learning_rate=schedule)
-    state = init_fn(init_rec_params(seed=0))
+    if args.init_weights:
+        from ppocr_tpu.utils.checkpoint import load_params_npz
+
+        params = load_params_npz(args.init_weights)
+    else:
+        params = init_rec_params(seed=0)
+    if len(charset) != np.asarray(params["head"]["fc"]["b"]).shape[0]:
+        from ppocr_tpu.train.finetune import reinit_ctc_head
+
+        params = reinit_ctc_head(params, len(charset), seed=0)
+    state = init_fn(params)
 
     from ppocr_tpu.train.trainer import BatchPrefetcher
 

@@ -1,0 +1,163 @@
+"""Jumbo-charset (~5,000-class) trained-weight gates — reference-SCALE OCR.
+
+The ascii/full gates (test_e2e_trained_text.py) exercise 94/218 trained
+classes of a 6,625-way head; these gates run a recognizer whose ENTIRE
+~5,008-way head is trained (weights/rec_scene_jumbo.npz over the pinned
+weights/jumbo_keys.txt charset — scripts/train_synthetic_rec.py --alphabet
+jumbo), so inter-class confusion, charset indexing, and CTC decode run at
+the reference's class-count scale (6,623-entry dict, ocr_rec.h:82-84).
+
+Accuracy is scored raw and homoglyph-normalized: at 5,000 classes DejaVu
+renders hundreds of codepoints pixel-identically (cross-script capitals
+A/Α/А, math-alphanumeric digit clones — weights/jumbo_homoglyphs.txt,
+computed by render hashing), so raw exact-match has an irreducible ceiling
+well below 1.0 and the normalized number is the real signal.
+"""
+
+import pathlib
+import shutil
+
+import numpy as np
+import pytest
+
+from ppocr_tpu.pipeline import OCREngine, OCRWorker
+from ppocr_tpu.pipeline.config import DetConfig, PipelineConfig, RecConfig
+from ppocr_tpu.train.synthetic import (
+    JUMBO_KEYS_FILE,
+    homoglyph_normalize,
+    jumbo_homoglyph_map,
+    text_scene_dataset,
+)
+
+WEIGHTS = pathlib.Path(__file__).parent.parent / "weights"
+DET_W = WEIGHTS / "det_synthetic_text.npz"
+REC_JUMBO_W = WEIGHTS / "rec_scene_jumbo.npz"
+
+pytestmark = pytest.mark.skipif(
+    not (
+        DET_W.exists()
+        and REC_JUMBO_W.exists()
+        and pathlib.Path(JUMBO_KEYS_FILE).exists()
+    ),
+    reason="bundled jumbo trained weights not present",
+)
+
+
+def _cfg(**kw):
+    return PipelineConfig(
+        det=DetConfig(
+            limit_type="max",
+            limit_side_len=96,
+            thresh=0.2,
+            box_thresh=0.4,
+            unclip_ratio=1.8,
+            score_mode="fast",
+            shape_buckets=(64, 96),
+        ),
+        rec=RecConfig(batch_num=4, img_h=48, img_w=256, width_buckets=(256,)),
+        enable_cls=False,
+        dtype="float32",
+        **kw,
+    )
+
+
+@pytest.fixture(scope="module")
+def jumbo_model_dir(tmp_path_factory, reference_models):
+    md = tmp_path_factory.mktemp("trained_jumbo_models")
+    for name in ("det", "cls", "rec"):
+        (md / name).mkdir()
+        shutil.copy(
+            reference_models / name / "inference.pdmodel",
+            md / name / "inference.pdmodel",
+        )
+    # custom-charset bundle: the jumbo keys file REPLACES the reference dict
+    shutil.copy(JUMBO_KEYS_FILE, md / "rec" / "ppocr_keys_v1.txt")
+    shutil.copy(DET_W, md / "det" / "weights.npz")
+    shutil.copy(REC_JUMBO_W, md / "rec" / "weights.npz")
+    return md
+
+
+def _score(worker, n_scenes, seed):
+    """(exact, norm_exact, total, det_found, det_gt, misses) over held-out
+    jumbo scenes (the canonical train.synthetic.text_scene_dataset
+    distribution at held-out seeds)."""
+    ds = text_scene_dataset("jumbo", seed=seed)
+    fam = jumbo_homoglyph_map()
+    total = exact = norm_exact = det_found = det_gt = 0
+    misses = []
+    for s in range(n_scenes):
+        scene, placed = ds.sample_scene()
+        r = worker.process(scene, s)
+        assert r["success"] is True
+        det_gt += len(placed)
+        det_found += len(r["words"])
+        for t, (x0, y0, x1, y1) in placed:
+            best, biou = None, 0.2
+            for word in r["words"]:
+                bx = np.array(word["box"])
+                wx0, wy0 = bx.min(0)
+                wx1, wy1 = bx.max(0)
+                ix0, iy0 = max(x0, wx0), max(y0, wy0)
+                ix1, iy1 = min(x1, wx1), min(y1, wy1)
+                inter = max(0, ix1 - ix0) * max(0, iy1 - iy0)
+                ua = (x1 - x0) * (y1 - y0) + (wx1 - wx0) * (wy1 - wy0) - inter
+                v = inter / ua if ua > 0 else 0.0
+                if v > biou:
+                    biou, best = v, word
+            total += 1
+            if best is not None and best["text"] == t:
+                exact += 1
+            if best is not None and homoglyph_normalize(
+                best["text"], fam
+            ) == homoglyph_normalize(t, fam):
+                norm_exact += 1
+            else:
+                misses.append((t, best["text"] if best else None))
+    return exact, norm_exact, total, det_found, det_gt, misses
+
+
+class TestJumboGates:
+    def test_staged_pipeline_reads_jumbo_charset(self, jumbo_model_dir):
+        eng = OCREngine(str(jumbo_model_dir), _cfg())
+        assert eng.random_weights == {"det": False, "rec": False}
+        assert len(eng.charset) > 4500  # the custom keys file is in force
+        exact, norm, total, det_found, det_gt, misses = _score(
+            OCRWorker(eng, 0), 14, 90210
+        )
+        assert total >= 20
+        assert det_found >= det_gt - 2, (det_found, det_gt)
+        assert norm / total >= 0.80, (
+            f"{norm}/{total} normalized ({exact} raw); misses: {misses}"
+        )
+        assert exact / total >= 0.60, f"{exact}/{total} raw; misses: {misses}"
+
+    def test_fused_pipeline_reads_jumbo_charset(self, jumbo_model_dir):
+        cfg = _cfg(fast_path=True, fused_max_boxes=8)
+        cfg.det.shape_buckets = (96,)
+        eng = OCREngine(str(jumbo_model_dir), cfg)
+        exact, norm, total, det_found, det_gt, misses = _score(
+            OCRWorker(eng, 0), 14, 90210
+        )
+        assert det_found >= det_gt - 2, (det_found, det_gt)
+        assert norm / total >= 0.80, (
+            f"{norm}/{total} normalized ({exact} raw); misses: {misses}"
+        )
+
+    def test_head_indices_span_the_full_head(self, jumbo_model_dir):
+        """Decoded classes span thousands of head indices — charset
+        indexing at reference scale, with every index backed by a trained
+        class (unlike the 218-trained-of-6,625 'full' gate)."""
+        eng = OCREngine(str(jumbo_model_dir), _cfg())
+        worker = OCRWorker(eng, 0)
+        ds = text_scene_dataset("jumbo", seed=777)
+        char_to_idx = {c: i for i, c in enumerate(eng.charset)}
+        seen = set()
+        for s in range(8):
+            scene, _ = ds.sample_scene()
+            r = worker.process(scene, s)
+            for w in r["words"]:
+                seen.update(
+                    char_to_idx[c] for c in w["text"] if c in char_to_idx
+                )
+        assert max(seen, default=0) > 4000, sorted(seen)[-5:]
+        assert len(seen) > 60, len(seen)
