@@ -476,6 +476,37 @@ def main(argv=None) -> int:
     )
     args = p.parse_args(argv)
 
+    # the axon tunnel can wedge globally (jax.devices() then hangs in
+    # every process, including this one — observed after a client died
+    # mid-dispatch); probe it in a killable subprocess so a dead tunnel
+    # yields an honest one-line error instead of an eternal hang
+    import subprocess
+
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            capture_output=True,
+            timeout=180,
+        )
+        probe_ok = probe.returncode == 0
+    except subprocess.TimeoutExpired:
+        probe_ok = False
+    if not probe_ok:
+        print(
+            json.dumps(
+                {
+                    "metric": "e2e_ms_per_image_p50",
+                    "value": None,
+                    "unit": "ms",
+                    "vs_baseline": None,
+                    "error": "device backend unreachable (axon tunnel "
+                    "wedged/down): jax.devices() failed or hung >180s "
+                    "in a probe subprocess",
+                }
+            )
+        )
+        return 2
+
     result = run_bench()
     print(json.dumps(result))
     rc = 0
