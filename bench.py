@@ -507,7 +507,23 @@ def main(argv=None) -> int:
         )
         return 2
 
-    result = run_bench()
+    try:
+        result = run_bench()
+    except FileNotFoundError as e:
+        # keep the one-JSON-line output contract even when an asset is
+        # missing (scripted consumers parse the single line)
+        print(
+            json.dumps(
+                {
+                    "metric": "e2e_ms_per_image_p50",
+                    "value": None,
+                    "unit": "ms",
+                    "vs_baseline": None,
+                    "error": str(e),
+                }
+            )
+        )
+        return 1
     print(json.dumps(result))
     rc = 0
     if args.check:

@@ -182,15 +182,19 @@ def build_parser() -> argparse.ArgumentParser:
 
 def apply_config_overrides(config, data: dict):
     """Recursively apply a JSON override dict onto the nested dataclass
-    config (lists become tuples to match the bucket fields)."""
+    config (lists become tuples to match the bucket fields; *bucket* lists
+    are sorted ascending — pick_bucket and the det_fit_cap downscale both
+    assume it, and the flag path sorts for the same reason)."""
     for k, v in data.items():
         if not hasattr(config, k):
             raise ValueError(f"unknown config field: {k}")
         cur = getattr(config, k)
         if isinstance(v, dict):
             apply_config_overrides(cur, v)
+        elif isinstance(v, list):
+            setattr(config, k, tuple(sorted(v) if "buckets" in k else v))
         else:
-            setattr(config, k, tuple(v) if isinstance(v, list) else v)
+            setattr(config, k, v)
 
 
 def batch_bucket_list(max_batch: int, mode: str = "pow2") -> tuple:
@@ -206,9 +210,12 @@ def batch_bucket_list(max_batch: int, mode: str = "pow2") -> tuple:
     return tuple(bb + [max_batch])
 
 
-async def _amain(args) -> int:
+def resolve_service_config(args):
+    """Flags → profile + overrides → validated PipelineConfig.
+
+    Returns (config, None) or (None, exit_code). Split from _amain so the
+    flag/file precedence rules are testable without booting a service."""
     from ..pipeline import PipelineConfig
-    from ..serve import OCRIPCService
 
     config = (
         PipelineConfig.serving()
@@ -222,7 +229,7 @@ async def _amain(args) -> int:
     # for the defaults profile
     if args.staged and args.fast_path:
         print("--staged and --fast-path are mutually exclusive", flush=True)
-        return 2
+        return None, 2
     if args.staged:
         config.fast_path = False
     elif args.fast_path:
@@ -237,23 +244,30 @@ async def _amain(args) -> int:
     config.cross_chip = bool(args.cross_chip)
     config.rec.decode = args.rec_decode
     config.rec.beam_size = args.beam_size
-    if args.batch_requests > 1 and config.fast_path:
-        config.request_batch_buckets = batch_bucket_list(
-            args.batch_requests, args.batch_buckets
-        )
     if args.config:
         # config file wins over flags (applied last): the precise typed
         # surface for fields the flag set doesn't reach
         import json as _json
 
         apply_config_overrides(config, _json.load(open(args.config)))
+    # --batch-requests is evaluated on the FINAL fast_path state (a config
+    # file may be what enables the fused path); an explicit
+    # request_batch_buckets from the file still wins over the flag
+    if (
+        args.batch_requests > 1
+        and config.fast_path
+        and config.request_batch_buckets == (1,)
+    ):
+        config.request_batch_buckets = batch_bucket_list(
+            args.batch_requests, args.batch_buckets
+        )
 
     # feature-combination invariants checked on the FINAL config state —
     # after the config-file overrides, which could otherwise reintroduce
     # exactly the combinations these guards exist to reject
     if config.cross_chip and not config.fast_path:
         print("--cross-chip requires the fused path (drop --staged)", flush=True)
-        return 2
+        return None, 2
     if config.cross_chip and max(config.request_batch_buckets or (1,)) > 1:
         # the batching dispatcher serves the single-chip fused step; a
         # silently ignored --cross-chip would mislead (ADVICE r2)
@@ -262,7 +276,16 @@ async def _amain(args) -> int:
             "(cross-request batching uses the single-chip fused step)",
             flush=True,
         )
-        return 2
+        return None, 2
+    return config, None
+
+
+async def _amain(args) -> int:
+    from ..serve import OCRIPCService
+
+    config, err = resolve_service_config(args)
+    if err is not None:
+        return err
 
     print(f"Loading models from {args.model_dir} ...", flush=True)
     engine = None

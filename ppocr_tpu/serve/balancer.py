@@ -35,10 +35,15 @@ from __future__ import annotations
 import asyncio
 import json
 import os
+import re
 import subprocess
 import sys
 import time
 from typing import Dict, List, Optional
+
+# compact worker serialization (service._compact) → the key:value pair has
+# no spaces; used to account large forwarded responses without parsing them
+_PTIME_RE = re.compile(rb'"processing_time_ms":([0-9.eE+\-]+)')
 
 RECYCLE_EXIT_CODE = 3
 MAX_LINE = 1048576 + 65536
@@ -133,15 +138,6 @@ class Backend:
         self.socket_path = socket_path
         self._epoch += 1
 
-    async def connect(self, timeout: float = 5.0) -> bool:
-        """Probe/prewarm one pooled connection."""
-        try:
-            ch = await self._acquire(timeout)
-        except ConnectionError:
-            return False
-        self._release(ch)
-        return True
-
     async def close(self):
         while not self._free.empty():
             self._discard(self._free.get_nowait())
@@ -163,6 +159,9 @@ class Backend:
             resp = await asyncio.wait_for(reader.readline(), self.io_timeout)
             if not resp:
                 raise ConnectionError("backend closed connection")
+            if not resp.endswith(b"\n"):
+                # EOF mid-line: the channel is desynced — never reuse it
+                raise ConnectionError("backend response truncated")
         except Exception:
             self._discard(ch)
             raise
@@ -194,11 +193,16 @@ class OCRBalancer:
     # (a --recycle-after relaunch with a warm XLA cache is seconds)
     retry_window = 15.0
 
-    async def _forward(self, line: bytes) -> dict:
+    async def _forward(self, line: bytes) -> "bytes | dict":
         """Route one request line; failover to another backend on error,
         and keep retrying inside ``retry_window`` when ALL backends are
         momentarily down (e.g. the only worker is mid-recycle) so clients
-        see latency, not failures."""
+        see latency, not failures.
+
+        Returns the worker's RAW newline-terminated response bytes so the
+        balancer never parses + re-serializes a large recognize payload
+        (that would double the host JSON cost the multi-process design
+        exists to spread); only the small error dict is built here."""
         last_err = None
         deadline = time.monotonic() + self.retry_window
         while True:
@@ -216,16 +220,8 @@ class OCRBalancer:
                 try:
                     resp = await b.roundtrip(line)
                     b.requests += 1
-                    parsed = json.loads(resp)
-                    self.forwarded += 1
-                    if parsed.get("success"):
-                        self.forwarded_ok += 1
-                        self.forwarded_time_ms += parsed.get(
-                            "processing_time_ms", 0.0
-                        )
-                    elif "timed out" in str(parsed.get("error", "")):
-                        self.timed_out += 1
-                    return parsed
+                    self._account(resp)
+                    return resp
                 except Exception as e:
                     b.errors += 1
                     last_err = e
@@ -237,6 +233,33 @@ class OCRBalancer:
                     "error": f"All backends unavailable: {last_err}",
                 }
             await asyncio.sleep(0.2)
+
+    def _account(self, resp: bytes) -> None:
+        """Lifetime counters from a forwarded response without a full
+        parse of large payloads: responses ≤4 KB (every error/status
+        shape) are parsed exactly; larger ones are necessarily successful
+        recognize payloads, so only processing_time_ms is regex-extracted."""
+        self.forwarded += 1
+        if len(resp) <= 4096:
+            try:
+                parsed = json.loads(resp)
+            except Exception:
+                parsed = {}
+            if parsed.get("success"):
+                self.forwarded_ok += 1
+                self.forwarded_time_ms += parsed.get(
+                    "processing_time_ms", 0.0
+                )
+            elif "timed out" in str(parsed.get("error", "")):
+                self.timed_out += 1
+            return
+        self.forwarded_ok += 1
+        m = _PTIME_RE.search(resp)
+        if m:
+            try:
+                self.forwarded_time_ms += float(m.group(1))
+            except ValueError:
+                pass
 
     # -- aggregated commands ----------------------------------------------
 
@@ -323,10 +346,17 @@ class OCRBalancer:
                     resp = await self._fanout_shutdown()
                 else:
                     resp = await self._forward(line)
-                data = (
-                    json.dumps(resp, ensure_ascii=False, separators=(",", ":"))
-                    + "\n"
-                ).encode()
+                if isinstance(resp, (bytes, bytearray)):
+                    # raw worker response spliced through untouched
+                    # (newline-terminated by Backend.roundtrip's contract)
+                    data = resp
+                else:
+                    data = (
+                        json.dumps(
+                            resp, ensure_ascii=False, separators=(",", ":")
+                        )
+                        + "\n"
+                    ).encode()
                 writer.write(data)
                 await writer.drain()
                 if cmd == "shutdown":
@@ -408,7 +438,6 @@ class ServiceSupervisor:
         self.boot_timeout = boot_timeout
         self.recycle_after = int(recycle_after)
         self.recycles = 0
-        self._rotating = False
         self._booting: set = set()  # replacement procs not yet promoted
         self.gen = [0] * n_processes
         # how to launch one worker (overridable for hermetic tests)
@@ -520,6 +549,7 @@ class ServiceSupervisor:
             self._booting.discard(new_proc)
             if (not ok or not self.running) and new_proc.poll() is None:
                 new_proc.terminate()
+                await self._reap(new_proc)
         if not ok or not self.running:
             return
         old_proc = self.procs[i]
@@ -544,6 +574,20 @@ class ServiceSupervisor:
                 )
             except subprocess.TimeoutExpired:
                 old_proc.terminate()
+                # the retired proc is in neither self.procs nor _booting
+                # anymore, so nothing else will ever wait() on it — reap
+                # here or each failed graceful retire leaks a zombie for
+                # the supervisor's whole lifetime
+                await self._reap(old_proc)
+
+    async def _reap(self, proc) -> None:
+        """wait() a terminated child off-loop; escalate to kill."""
+        loop = asyncio.get_running_loop()
+        try:
+            await loop.run_in_executor(None, lambda: proc.wait(timeout=5))
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            await loop.run_in_executor(None, proc.wait)
 
     async def monitor(self):
         """Restart exited workers (crash recovery) and run rolling recycles
@@ -561,15 +605,11 @@ class ServiceSupervisor:
                     # the boot window, and a monitor blocked for one boot
                     # (up to --boot-timeout) would stall every other
                     # crash restart and all rolling recycles
-            if self.recycle_after and self.running and not self._rotating:
+            if self.recycle_after and self.running:
                 for i in range(self.n):
                     served = await self._served_requests(i)
                     if served >= self.recycle_after and self.running:
-                        self._rotating = True
-                        try:
-                            await self._rotate(i)
-                        finally:
-                            self._rotating = False
+                        await self._rotate(i)
                         break  # one rotation per sweep
             await asyncio.sleep(0.3 if not self.recycle_after else 1.0)
 
@@ -587,11 +627,3 @@ class ServiceSupervisor:
                     p.wait(timeout=10)
                 except subprocess.TimeoutExpired:
                     p.kill()
-
-    async def serve_forever(self):
-        await self.start_async()
-        mon = asyncio.get_running_loop().create_task(self.monitor())
-        await self.balancer._stopped.wait()
-        self.running = False
-        mon.cancel()
-        await self.stop_async()

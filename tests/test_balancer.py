@@ -464,3 +464,109 @@ class TestReviewFixes:
             "--socket", str(tmp_path / "x.sock"),
         ])
         assert rc == 2
+
+
+class TestResponseSplice:
+    """The balancer forwards worker response BYTES untouched — it must not
+    parse + re-serialize large recognize payloads (that would double the
+    host JSON cost the multi-process design exists to spread)."""
+
+    def test_large_response_spliced_and_accounted(self, tmp_path):
+        big_words = [{"text": "x" * 50, "box": [[0, 0]] * 4}] * 200
+        payload = (
+            json.dumps(
+                {
+                    "request_id": 1,
+                    "success": True,
+                    "processing_time_ms": 12.5,
+                    "words": big_words,
+                },
+                separators=(",", ":"),
+            )
+            + "\n"
+        ).encode()
+        assert len(payload) > 4096
+        wsock = str(tmp_path / "wk.sock")
+        sock = str(tmp_path / "bal.sock")
+
+        async def worker(reader, writer):
+            while await reader.readline():
+                writer.write(payload)
+                await writer.drain()
+
+        async def go():
+            server = await asyncio.start_unix_server(worker, path=wsock)
+            bal = OCRBalancer(sock, [Backend(wsock)])
+            await bal.start_async()
+            try:
+                reader, writer = await asyncio.open_unix_connection(
+                    sock, limit=4 * 1024 * 1024
+                )
+                writer.write(b'{"command":"recognize"}\n')
+                await writer.drain()
+                raw = await reader.readline()
+                writer.close()
+                return raw, bal.forwarded_ok, bal.forwarded_time_ms
+            finally:
+                await bal.stop_async()
+                server.close()
+
+        raw, ok, t_ms = run(go())
+        assert raw == payload  # byte-identical splice
+        assert ok == 1
+        assert t_ms == pytest.approx(12.5)
+
+    def test_small_error_response_still_accounted_exactly(self, tmp_path):
+        payload = (
+            json.dumps(
+                {"success": False, "error": "Processing timed out after 1s"}
+            )
+            + "\n"
+        ).encode()
+        wsock = str(tmp_path / "wk.sock")
+        sock = str(tmp_path / "bal.sock")
+
+        async def worker(reader, writer):
+            while await reader.readline():
+                writer.write(payload)
+                await writer.drain()
+
+        async def go():
+            server = await asyncio.start_unix_server(worker, path=wsock)
+            bal = OCRBalancer(sock, [Backend(wsock)])
+            await bal.start_async()
+            try:
+                r = await _client_request(sock, {"command": "recognize"})
+                return r, bal.forwarded, bal.forwarded_ok, bal.timed_out
+            finally:
+                await bal.stop_async()
+                server.close()
+
+        r, fwd, ok, timed = run(go())
+        assert r["success"] is False
+        assert (fwd, ok, timed) == (1, 0, 1)
+
+
+class TestRotateReaping:
+    def test_reap_escalates_and_leaves_no_zombie(self, tmp_path):
+        """A retired worker that ignores SIGTERM must still be reaped
+        (kill + wait) — each unreaped proc would be a zombie for the
+        supervisor's whole lifetime (review r3)."""
+        import subprocess
+
+        sup = ServiceSupervisor(
+            str(tmp_path / "b.sock"), 1, worker_args=[],
+            argv_prefix=fake_prefix(),
+        )
+        proc = subprocess.Popen(
+            ["bash", "-c", 'trap "" TERM; sleep 30']
+        )
+
+        async def go():
+            proc.terminate()  # ignored by the trap
+            await sup._reap(proc)
+
+        t0 = time.monotonic()
+        run(go())
+        assert proc.returncode is not None  # reaped, not a zombie
+        assert time.monotonic() - t0 < 15

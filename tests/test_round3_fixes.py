@@ -29,6 +29,90 @@ class TestServingDefaults:
         assert main(["--staged", "--cross-chip"]) == 2
 
 
+class TestConfigResolution:
+    """Flag/config-file precedence (resolve_service_config)."""
+
+    def _resolve(self, argv, tmp_path=None, file_overrides=None):
+        import json
+
+        from ppocr_tpu.cli.service_main import (
+            build_parser,
+            resolve_service_config,
+        )
+
+        if file_overrides is not None:
+            p = tmp_path / "cfg.json"
+            p.write_text(json.dumps(file_overrides))
+            argv = argv + ["--config", str(p)]
+        return resolve_service_config(build_parser().parse_args(argv))
+
+    def test_batch_requests_sees_config_file_fast_path(self, tmp_path):
+        """--batch-requests must act on the FINAL fast_path state: a config
+        file that enables the fused path must not silently lose request
+        batching (review r3)."""
+        cfg, err = self._resolve(
+            ["--profile", "defaults", "--batch-requests", "4"],
+            tmp_path,
+            {"fast_path": True},
+        )
+        assert err is None
+        assert max(cfg.request_batch_buckets) == 4
+
+    def test_config_file_batch_buckets_beat_the_flag(self, tmp_path):
+        cfg, err = self._resolve(
+            ["--batch-requests", "4"],
+            tmp_path,
+            {"request_batch_buckets": [1, 2]},
+        )
+        assert err is None
+        assert cfg.request_batch_buckets == (1, 2)
+
+    def test_batch_requests_still_ignored_when_staged(self):
+        cfg, err = self._resolve(["--staged", "--batch-requests", "4"])
+        assert err is None
+        assert cfg.request_batch_buckets == (1,)
+
+    def test_config_file_bucket_lists_are_sorted(self, tmp_path):
+        """pick_bucket and the det_fit_cap downscale assume ascending
+        buckets; the flag path sorts, so the file path must too."""
+        cfg, err = self._resolve(
+            [], tmp_path, {"det": {"shape_buckets": [96, 64]}}
+        )
+        assert err is None
+        assert cfg.det.shape_buckets == (64, 96)
+
+
+class TestBenchErrorContract:
+    def test_missing_asset_yields_one_json_error_line(
+        self, monkeypatch, capsys
+    ):
+        """run_bench failing on a missing asset must keep the one-JSON-line
+        output contract (scripted consumers parse the single line), not
+        die with a traceback (review r3)."""
+        import json as _json
+        import subprocess
+        import types
+
+        import bench
+
+        monkeypatch.setattr(
+            subprocess,
+            "run",
+            lambda *a, **k: types.SimpleNamespace(returncode=0),
+        )
+
+        def boom():
+            raise FileNotFoundError("cannot read bench image /nope.jpg")
+
+        monkeypatch.setattr(bench, "run_bench", boom)
+        rc = bench.main([])
+        out = capsys.readouterr().out.strip().splitlines()
+        j = _json.loads(out[-1])
+        assert rc == 1
+        assert j["value"] is None
+        assert "cannot read bench image" in j["error"]
+
+
 class TestBenchRegressionGate:
     """bench.py --check FAILS on regression (VERDICT r2 weak #3: previously
     nothing failed when the fused step or accuracy regressed)."""
