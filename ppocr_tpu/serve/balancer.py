@@ -253,6 +253,14 @@ class OCRBalancer:
             elif "timed out" in str(parsed.get("error", "")):
                 self.timed_out += 1
             return
+        # byte sniff is exact here: inside JSON strings every '"' is
+        # escaped as '\"', so the unescaped key:value sequence below can
+        # only be the response's own top-level success field (a multi-KB
+        # failure exists, e.g. an XLA error string in "error")
+        if b'"success":false' in resp:
+            if b"timed out" in resp:
+                self.timed_out += 1
+            return
         self.forwarded_ok += 1
         m = _PTIME_RE.search(resp)
         if m:

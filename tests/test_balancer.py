@@ -547,6 +547,50 @@ class TestResponseSplice:
         assert (fwd, ok, timed) == (1, 0, 1)
 
 
+    def test_large_failure_response_not_counted_ok(self, tmp_path):
+        """A multi-KB failure (e.g. an XLA error string) must not be
+        sniffed as success: the unescaped "success":false sequence can
+        only be the top-level field (string contents escape quotes)."""
+        payload = (
+            json.dumps(
+                {
+                    "success": False,
+                    "error": "Processing timed out after 1s: " + "x" * 8000,
+                },
+                separators=(",", ":"),
+            )
+            + "\n"
+        ).encode()
+        assert len(payload) > 4096
+        wsock = str(tmp_path / "wk.sock")
+        sock = str(tmp_path / "bal.sock")
+
+        async def worker(reader, writer):
+            while await reader.readline():
+                writer.write(payload)
+                await writer.drain()
+
+        async def go():
+            server = await asyncio.start_unix_server(worker, path=wsock)
+            bal = OCRBalancer(sock, [Backend(wsock)])
+            await bal.start_async()
+            try:
+                reader, writer = await asyncio.open_unix_connection(
+                    sock, limit=4 * 1024 * 1024
+                )
+                writer.write(b'{"command":"recognize"}\n')
+                await writer.drain()
+                await reader.readline()
+                writer.close()
+                return bal.forwarded, bal.forwarded_ok, bal.timed_out
+            finally:
+                await bal.stop_async()
+                server.close()
+
+        fwd, ok, timed = run(go())
+        assert (fwd, ok, timed) == (1, 0, 1)
+
+
 class TestRotateReaping:
     def test_reap_escalates_and_leaves_no_zombie(self, tmp_path):
         """A retired worker that ignores SIGTERM must still be reaped
