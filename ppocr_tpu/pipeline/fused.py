@@ -53,18 +53,20 @@ from ..ops.normalize import (
 
 
 class FusedOutputs(NamedTuple):
-    boxes: jnp.ndarray  # [K, 4] int32 (x0, y0, x1, y1) in det-image coords
-    valid: jnp.ndarray  # [K] bool
-    scores: jnp.ndarray  # [K] f32 blob-mean det score
-    ctc_idx: jnp.ndarray  # [K, T] int32 (greedy) | [K, T, C] (beam lattice)
-    ctc_prob: jnp.ndarray  # [K, T] f32 | [K, T, C]
-    roots: jnp.ndarray  # [K] int32 blob root = flat index of the blob's
+    # every field carries a leading batch axis B (build_fused_step returns
+    # the whole request batch); index as field[b, i] for image b, slot i
+    boxes: jnp.ndarray  # [B, K, 4] int32 (x0, y0, x1, y1) det-image coords
+    valid: jnp.ndarray  # [B, K] bool
+    scores: jnp.ndarray  # [B, K] f32 blob-mean det score
+    ctc_idx: jnp.ndarray  # [B, K, T] int32 (greedy) | [B, K, T, C] (beam)
+    ctc_prob: jnp.ndarray  # [B, K, T] f32 | [B, K, T, C]
+    roots: jnp.ndarray  # [B, K] int32 blob root = flat index of the blob's
     # raster-first pixel; descending root order == cv2.findContours
     # emission order (reverse raster), the staged/reference word order
-    ctc_blank: jnp.ndarray = None  # [K, T] f32 blank prob (beam decode only)
-    quads: jnp.ndarray = None  # [K, 4, 2] int32 corner quads (TL,TR,BR,BL
-    # before host reordering) — rotated rects in rotated-box mode, the axis
-    # box corners otherwise
+    ctc_blank: jnp.ndarray = None  # [B, K, T] f32 blank prob (beam only)
+    quads: jnp.ndarray = None  # [B, K, 4, 2] int32 corner quads (TL,TR,BR,
+    # BL before host reordering) — rotated rects in rotated-box mode, the
+    # axis box corners otherwise
 
 
 def _connected_components(fg: jnp.ndarray, max_iters: int | None = None) -> jnp.ndarray:
@@ -76,8 +78,13 @@ def _connected_components(fg: jnp.ndarray, max_iters: int | None = None) -> jnp.
     resolve entire horizontal/vertical runs at once. A pixel-hop loop needs
     ~blob-diameter iterations (a 300 px text line = 300 passes); run
     propagation converges in the number of geometric "bends" of the most
-    serpentine blob — a handful for text. The while_loop still exits at
-    convergence and the cap stays at the pixel-hop worst case for safety.
+    serpentine blob — a handful for text. The while_loop exits at
+    convergence; the h+w+8 cap bounds compile-time trip count for every
+    realistic det map (bends ≪ h+w). The true worst case is O(h·w) bends
+    (an adversarial 1-px zigzag snake), which would exit unconverged and
+    fragment that blob into several boxes — harmless for OCR (extra
+    low-score candidates), so the cap deliberately trades that corner for
+    a 100× smaller bound on chip time.
     """
     h, w = fg.shape
     if max_iters is None:
@@ -306,6 +313,7 @@ def build_fused_parts(
     use_pallas: bool = False,
     n_width_tiers: int = 2,
     blob_kernel: bool = False,
+    use_dilation: bool = False,
 ):
     """The fused pipeline split at its natural cross-chip boundary:
 
@@ -332,11 +340,21 @@ def build_fused_parts(
         h, w = prob.shape
         rh = content_hw[0].astype(jnp.int32)
         rw = content_hw[1].astype(jnp.int32)
+        # uint8 threshold == binarize_device/binarize_np (db_postprocess)
         fg = (prob * 255.0).astype(jnp.uint8) > jnp.uint8(int(det_thresh * 255))
         in_content = (jnp.arange(h, dtype=jnp.int32)[:, None] < rh) & (
             jnp.arange(w, dtype=jnp.int32)[None, :] < rw
         )
         fg = fg & in_content
+        if use_dilation:
+            # cv2.dilate with a 2×2 MORPH_RECT kernel anchors at (0,0):
+            # dst(y,x) = max src[y..y+1, x..x+1] (binarize_np parity). The
+            # staged path dilates the content-cropped bitmap, so re-mask
+            # to keep dilation from bleeding past the content edge.
+            fgp = jnp.pad(fg, ((0, 1), (0, 1)))
+            fg = (
+                fgp[:-1, :-1] | fgp[:-1, 1:] | fgp[1:, :-1] | fgp[1:, 1:]
+            ) & in_content
         labels = _connected_components(fg)
         stats = _blob_stats(
             labels, prob, max_boxes, rotated=rotated, use_pallas=blob_kernel
@@ -355,13 +373,16 @@ def build_fused_parts(
         d = (bw * bh) * unclip_ratio / jnp.maximum(2.0 * (bw + bh), 1.0)
         ebw, ebh = bw + 2.0 * d, bh + 2.0 * d
 
+        # det-map-coord rules only here (contour area/ssid/unclipped-ssid/
+        # score — db_postprocess.boxes_from_bitmap parity); the reference's
+        # final ≤4 px side filter is in SOURCE coords after rescale
+        # (FilterTagDetRes, postprocess_op.cpp:333-362) and is applied
+        # host-side in _words_from_outputs, where the ratio is known
         valid = (
             (stats["area"] > 2)
             & (ssid >= 3)
             & (jnp.maximum(ebw, ebh) >= 5)
             & (stats["score"] >= box_thresh)
-            & (ebw > 4)
-            & (ebh > 4)
         )
         rwf = rw.astype(jnp.float32) - 1.0
         rhf = rh.astype(jnp.float32) - 1.0
@@ -548,6 +569,7 @@ def build_fused_step(
     use_pallas: bool = False,
     n_width_tiers: int = 2,
     blob_kernel: bool = False,
+    use_dilation: bool = False,
 ):
     """Returns jitted ``step(det_params, rec_params, cls_params,
     img_u8[B,H,W,3], content_hw[B,2]) -> FusedOutputs`` (compiled per padded
@@ -572,6 +594,7 @@ def build_fused_step(
         use_pallas=use_pallas,
         n_width_tiers=n_width_tiers,
         blob_kernel=blob_kernel,
+        use_dilation=use_dilation,
     )
 
     @jax.jit
@@ -644,6 +667,7 @@ class FusedOCR:
                 and engine._pallas_ok()
                 and not self.rotated
             ),
+            use_dilation=bool(cfg.det.use_dilation),
         )
 
     def _cls_params(self):
@@ -710,6 +734,14 @@ class FusedOCR:
                 box = order_points_clockwise(
                     np.stack([sx, sy], axis=1)
                 ).tolist()
+                # FilterTagDetRes's final filter runs in SOURCE coords on
+                # the rescaled quad: sides ≤4 px are dropped
+                # (postprocess_op.cpp:333-362)
+                p = np.array(box, np.float64)
+                rect_w = float(np.linalg.norm(p[0] - p[1]))
+                rect_h = float(np.linalg.norm(p[0] - p[3]))
+                if rect_w <= 4 or rect_h <= 4:
+                    continue
             else:
                 x0, y0, x1, y1 = out.boxes[b, i]
                 # rescale det-image coords → source coords (truncating like
@@ -718,6 +750,10 @@ class FusedOCR:
                 sx1 = int(np.clip(int(x1 / ratio_w), 0, src_w - 1))
                 sy0 = int(np.clip(int(y0 / ratio_h), 0, src_h - 1))
                 sy1 = int(np.clip(int(y1 / ratio_h), 0, src_h - 1))
+                # the reference's ≤4 px side filter, in source coords like
+                # FilterTagDetRes (the det-map-coord rules ran in-graph)
+                if sx1 - sx0 <= 4 or sy1 - sy0 <= 4:
+                    continue
                 box = [[sx0, sy0], [sx1, sy0], [sx1, sy1], [sx0, sy1]]
             words.append(
                 {
@@ -754,9 +790,16 @@ class FusedOCR:
         if batch_buckets is None:
             batch_buckets = cfg.request_batch_buckets
         start = time.perf_counter()
-        arrival = dict(
-            zip(request_ids, arrival_times or [start] * len(request_ids))
-        )
+        if arrival_times is None:
+            arrival_times = [start] * len(request_ids)
+        elif len(arrival_times) != len(request_ids):
+            # zip() would silently truncate and fail late with a KeyError
+            # after the device work is done
+            raise ValueError(
+                f"arrival_times has {len(arrival_times)} entries for "
+                f"{len(request_ids)} requests"
+            )
+        arrival = dict(zip(request_ids, arrival_times))
         prepped = []  # (group_key, padded_img, ratios, meta)
         for image, rid in zip(images, request_ids):
             resized, ratio_h, ratio_w = det_resize(
@@ -778,42 +821,53 @@ class FusedOCR:
         groups: Dict[tuple, list] = {}
         for item in prepped:
             groups.setdefault(item[0], []).append(item)
+        # dispatch every group first (jit dispatch is async), then fetch:
+        # device work of group n+1 overlaps the fetch + host CTC decode of
+        # group n instead of serializing a full RTT per group
+        inflight = []  # (chunk, pending device outputs)
         for (bh, bw), items in groups.items():
-            nb = self._pad_bucket(pick_bucket(batch_buckets, len(items)))
-            for beg in range(0, len(items), nb):
-                chunk = items[beg : beg + nb]
+            stride = self._pad_bucket(pick_bucket(batch_buckets, len(items)))
+            for beg in range(0, len(items), stride):
+                chunk = items[beg : beg + stride]
+                # a trailing partial chunk re-picks its own compiled batch
+                # variant instead of padding up to the full stride
+                nb = self._pad_bucket(pick_bucket(batch_buckets, len(chunk)))
                 batch = np.zeros((nb, bh, bw, 3), np.uint8)
                 content_hw = np.zeros((nb, 2), np.int32)  # pad slots: (0,0)
                 for j, (_, canvas, (rh, rw), _, _) in enumerate(chunk):
                     batch[j] = canvas
                     content_hw[j] = (rh, rw)
                 batch_dev, content_dev = self._place_batch(batch, content_hw)
-                out = jax.device_get(
-                    self._step(
-                        self.engine.det_params,
-                        self.engine.rec_params,
-                        self._cls_params(),
-                        batch_dev,
-                        content_dev,
+                inflight.append(
+                    (
+                        chunk,
+                        self._step(
+                            self.engine.det_params,
+                            self.engine.rec_params,
+                            self._cls_params(),
+                            batch_dev,
+                            content_dev,
+                        ),
                     )
                 )
-                group_done = time.perf_counter()
-                for j, (_, _, _, (ratio_h, ratio_w), (rid, shape)) in enumerate(
-                    chunk
-                ):
-                    words = self._words_from_outputs(
-                        out, j, ratio_h, ratio_w, shape[1], shape[0]
-                    )
-                    results[rid] = {
-                        "request_id": int(rid),
-                        "width": int(shape[1]),
-                        "height": int(shape[0]),
-                        "success": True,
-                        "processing_time_ms": (group_done - arrival[rid])
-                        * 1e3,
-                        "worker_id": worker_id,
-                        "words": words,
-                    }
+        for chunk, pending in inflight:
+            out = jax.device_get(pending)  # ONE fetch per device call
+            group_done = time.perf_counter()
+            for j, (_, _, _, (ratio_h, ratio_w), (rid, shape)) in enumerate(
+                chunk
+            ):
+                words = self._words_from_outputs(
+                    out, j, ratio_h, ratio_w, shape[1], shape[0]
+                )
+                results[rid] = {
+                    "request_id": int(rid),
+                    "width": int(shape[1]),
+                    "height": int(shape[0]),
+                    "success": True,
+                    "processing_time_ms": (group_done - arrival[rid]) * 1e3,
+                    "worker_id": worker_id,
+                    "words": words,
+                }
         return [results[rid] for rid in request_ids]
 
     def process(self, image_bgr: np.ndarray, request_id: int = 0, worker_id: int = 0) -> Dict:

@@ -249,3 +249,67 @@ def test_connected_components_full_width_line():
     line = labels[3, :]
     assert (line == line[0]).all()
     assert labels[0, 0] == 8 * 384  # background label
+
+
+class TestSourceCoordFilter:
+    """The reference's final ≤4 px side filter runs in SOURCE coordinates
+    after rescale (FilterTagDetRes, postprocess_op.cpp:333-362). The fused
+    path applies it host-side in _words_from_outputs — a det-coord box of
+    3 px is a 12 px source box at ratio 0.25 and must be KEPT (review r3:
+    it used to be dropped in-graph in det coords)."""
+
+    def _fake_out(self, fused, x0, y0, x1, y1):
+        from ppocr_tpu.pipeline.fused import FusedOutputs
+
+        k, t = fused.max_boxes, 6
+        boxes = np.zeros((1, k, 4), np.int32)
+        boxes[0, 0] = (x0, y0, x1, y1)
+        valid = np.zeros((1, k), bool)
+        valid[0, 0] = True
+        idx = np.zeros((1, k, t), np.int32)
+        idx[0, 0, 0] = 5  # one non-blank timestep → non-NaN confidence
+        quads = np.zeros((1, k, 4, 2), np.int32)
+        return FusedOutputs(
+            boxes=boxes,
+            valid=valid,
+            scores=np.full((1, k), 0.9, np.float32),
+            ctc_idx=idx,
+            ctc_prob=np.ones((1, k, t), np.float32),
+            roots=np.zeros((1, k), np.int32),
+            ctc_blank=None,
+            quads=quads,
+        )
+
+    def test_small_det_box_kept_when_source_side_large(self, fused):
+        out = self._fake_out(fused, 10, 10, 13, 13)  # 3 px det sides
+        # ratio 0.25: the 3 px det box is a 12 px source box — kept
+        words = fused._words_from_outputs(out, 0, 0.25, 0.25, 400, 400)
+        assert len(words) == 1
+        assert words[0]["box"][0] == [40, 40]
+
+    def test_small_source_box_dropped_at_ratio_one(self, fused):
+        out = self._fake_out(fused, 10, 10, 13, 13)
+        # ratio 1: 3 px source sides ≤ 4 → FilterTagDetRes drops it
+        words = fused._words_from_outputs(out, 0, 1.0, 1.0, 400, 400)
+        assert words == []
+
+
+class TestFusedDilation:
+    def test_dilation_matches_staged(self, reference_models):
+        """use_dilation=True must behave in the fused graph like the staged
+        binarize_np 2×2 cv2.dilate (review r3: it used to be silently
+        ignored on the fast path)."""
+        from ppocr_tpu.ops import iou_float, xyxyxyxy2xyxy
+
+        cfg = small_config(enable_cls=False, fast_path=True)
+        cfg.det.use_dilation = True
+        eng = OCREngine(str(reference_models), cfg)
+        img = synthetic_text_image()
+        eng.config.fast_path = False
+        staged = OCRWorker(eng, 0).process(img, 1)
+        eng.config.fast_path = True
+        got = eng.fused_ocr().process(img, 1)
+        assert len(got["words"]) == len(staged.get("words", []))
+        for gw, sw in zip(got["words"], staged["words"]):
+            iou = iou_float(xyxyxyxy2xyxy(gw["box"]), xyxyxyxy2xyxy(sw["box"]))
+            assert iou >= 0.8, (gw["box"], sw["box"])

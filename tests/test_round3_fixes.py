@@ -286,8 +286,11 @@ class TestPerRequestTiming:
     def test_batched_groups_get_distinct_times(self, fused_for_timing):
         """Two requests landing in different det-bucket groups must not
         both report the whole multi-group wall time (VERDICT r2 weak #6):
-        the first group's request is stamped at ITS completion, before the
-        second group runs."""
+        each is stamped when ITS group's fetch completes. Groups now
+        dispatch async and fetch in order (device work overlaps host
+        decode), so with a synchronous fake step both delays land in the
+        dispatch phase; the per-group stamps must still be distinct and
+        ordered, and cover the device time."""
         img_small = np.full((50, 50, 3), 255, np.uint8)
         img_large = np.full((90, 90, 3), 255, np.uint8)
         r1, r2 = fused_for_timing.process_batch(
@@ -296,10 +299,10 @@ class TestPerRequestTiming:
         t1 = r1["processing_time_ms"]
         t2 = r2["processing_time_ms"]
         assert t1 != t2
-        # group 2 runs after group 1 completes → strictly more elapsed
+        # group 2's fetch (and host decode of group 1) completes after
+        # group 1's stamp → strictly ordered per-request times
         assert t2 > t1
-        assert t2 >= 2 * 20.0 * 0.9  # both fake-step delays
-        assert t1 < t2 - 20.0 * 0.5
+        assert t2 >= 2 * 20.0 * 0.9  # covers both fake-step delays
 
     def test_arrival_times_extend_the_clock(self, fused_for_timing):
         """arrival_times measures from queue entry (the batcher's submit),
