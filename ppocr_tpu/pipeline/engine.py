@@ -110,9 +110,6 @@ class OCREngine:
             score_mode=self.config.det.score_mode,
             use_dilation=self.config.det.use_dilation,
         )
-        self.charset = load_charset(
-            os.path.join(model_dir, "rec", "ppocr_keys_v1.txt")
-        )
         self.random_weights: Dict[str, bool] = {}
         self._load_params()
         self._build_steps()
@@ -202,6 +199,13 @@ class OCREngine:
         )
 
     def _load_params(self):
+        # the charset is part of the bundle and (re)loads WITH the weights:
+        # reload() after a consistent on-disk bundle swap must pick up the
+        # new keys file, and a same-size charset swap must not silently
+        # decode through a stale one (review r3)
+        self.charset = load_charset(
+            os.path.join(self.model_dir, "rec", "ppocr_keys_v1.txt")
+        )
         self.det_params = self._load_one("det", convert_det_params)
         self.cls_params = (
             self._load_one("cls", convert_cls_params)
@@ -213,7 +217,31 @@ class OCREngine:
         # their own keys file; a head/charset size mismatch would silently
         # garble decodes (or IndexError mid-request), so fail at load
         head = self.rec_params["head"]["fc"]["b"].shape[0]
-        if head != len(self.charset):
+        if head == len(self.charset) - 1:
+            # a use_space_char=False export: head = blank + keys, no
+            # appended space class. Every emitted index still maps to the
+            # right charset entry (the space row just can never fire), so
+            # serve it — with a note, since the reference dict loader
+            # always appends space (ocr_rec.h:82-84)
+            import warnings
+
+            warnings.warn(
+                f"rec head emits {head} classes, one fewer than the "
+                f"charset's {len(self.charset)} (blank + keys + space): "
+                "treating as a no-space-class export; the space class "
+                "will never be emitted",
+                stacklevel=3,
+            )
+        elif head != len(self.charset):
+            if self.random_weights["rec"]:
+                raise ValueError(
+                    f"rec weights are random stand-ins with the reference "
+                    f"graph's {head}-way head, but the bundle's charset "
+                    f"file defines {len(self.charset)} classes (keys + "
+                    "blank + space, ocr_rec.h:82-84) — provide a trained "
+                    f"weights.npz matching {self.model_dir}/rec/"
+                    "ppocr_keys_v1.txt (train/finetune.py exports one)"
+                )
             raise ValueError(
                 f"rec head emits {head} classes but the charset file "
                 f"defines {len(self.charset)} (keys + blank + space, "
