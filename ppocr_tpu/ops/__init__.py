@@ -8,7 +8,13 @@ from the reference C++ semantics (SURVEY.md §7 step 1).
 
 from .resize import cls_resize, crnn_resize, det_fit_cap, det_resize, rec_width_for_ratio
 from .normalize import normalize_chw_np, normalize_imagenet_np, pack_batch
-from .ctc import ctc_greedy_decode_np, ctc_topk_device
+from .ctc import (
+    ctc_beam_search,
+    ctc_beam_topk_device,
+    ctc_greedy_collapse,
+    ctc_greedy_decode_np,
+    ctc_topk_device,
+)
 from .geometry import (
     bounding_crop,
     get_rotate_crop_image,
@@ -31,6 +37,9 @@ __all__ = [
     "boxes_from_bitmap",
     "cls_resize",
     "crnn_resize",
+    "ctc_beam_search",
+    "ctc_beam_topk_device",
+    "ctc_greedy_collapse",
     "ctc_greedy_decode_np",
     "ctc_topk_device",
     "det_fit_cap",

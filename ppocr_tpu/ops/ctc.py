@@ -25,12 +25,13 @@ import numpy as np
 
 
 def ctc_topk_device(
-    logprobs: jnp.ndarray, use_pallas: bool = False
+    probs: jnp.ndarray, use_pallas: bool = False
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Device half of greedy decode: per-timestep argmax index and max prob.
 
-    ``logprobs``: [N, T, V] post-softmax probabilities (the rec graph ends in
-    softmax). Returns ([N, T] int32, [N, T] float32).
+    ``probs``: [N, T, V] post-softmax probabilities (the rec graph ends in
+    softmax — NOT log-probs; negative inputs would silently produce
+    negative "confidences" downstream). Returns ([N, T] int32, [N, T] f32).
 
     ``use_pallas`` selects the fused single-VMEM-pass kernel
     (ops.pallas_kernels.ctc_topk) — measured 4.2× faster than XLA's
@@ -41,9 +42,9 @@ def ctc_topk_device(
     if use_pallas:
         from .pallas_kernels import ctc_topk_pallas
 
-        return ctc_topk_pallas(logprobs)
-    idx = jnp.argmax(logprobs, axis=-1).astype(jnp.int32)
-    val = jnp.max(logprobs, axis=-1)
+        return ctc_topk_pallas(probs)
+    idx = jnp.argmax(probs, axis=-1).astype(jnp.int32)
+    val = jnp.max(probs, axis=-1)
     return idx, val
 
 

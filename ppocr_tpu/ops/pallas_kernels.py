@@ -33,9 +33,12 @@ def _ctc_topk_kernel(probs_ref, idx_ref, val_ref, *, valid_v: int):
     col = jax.lax.broadcasted_iota(jnp.int32, (r, vp), dimension=1)
     masked = jnp.where(col < valid_v, block, -jnp.inf)
     val = jnp.max(masked, axis=1, keepdims=True)
-    # argmax in the same pass: first column index achieving the max
+    # argmax in the same pass: first column index achieving the max. A NaN
+    # row makes `masked == val` false everywhere (NaN != NaN); clamp the
+    # no-hit sentinel vp into range so the host charset join degrades like
+    # jnp.argmax (in-range garbage) instead of an IndexError
     hit = jnp.where(masked == val, col, vp)
-    idx = jnp.min(hit, axis=1, keepdims=True)
+    idx = jnp.minimum(jnp.min(hit, axis=1, keepdims=True), valid_v - 1)
     idx_ref[:] = idx.astype(jnp.int32)
     val_ref[:] = val
 

@@ -6,10 +6,16 @@ import pytest
 
 
 def _prune(probs, k):
-    """Host mirror of ctc_beam_topk_device for test lattices."""
-    idx = np.argsort(-probs, axis=-1)[..., :k].astype(np.int32)
-    val = np.take_along_axis(probs, idx, axis=-1)
-    return idx, val, probs[..., 0]
+    """Host mirror of ctc_beam_topk_device for test lattices: blank (id 0)
+    ships separately and is masked out of the top-k, so every candidate
+    slot carries a non-blank symbol (same contract as the device kernel —
+    keep in lockstep with ops/ctc.py ctc_beam_topk_device)."""
+    blank = probs[..., 0].copy()
+    masked = probs.copy()
+    masked[..., 0] = -1.0
+    idx = np.argsort(-masked, axis=-1, kind="stable")[..., :k].astype(np.int32)
+    val = np.take_along_axis(masked, idx, axis=-1)
+    return idx, val, blank
 
 
 class TestBeamSearch:

@@ -112,6 +112,19 @@ def test_pallas_ctc_topk_interpret():
     np.testing.assert_allclose(np.asarray(val), p.max(-1), rtol=1e-6)
 
 
+def test_pallas_ctc_topk_nan_row_stays_in_range():
+    """A NaN row defeats the kernel's `masked == val` hit test (NaN !=
+    NaN); the index must stay < V like jnp.argmax (in-range garbage), not
+    the padded-lane sentinel that would IndexError the host charset join
+    (review r3)."""
+    from ppocr_tpu.ops.pallas_kernels import ctc_topk_pallas
+
+    p = np.full((1, 3, 333), 0.1, np.float32)
+    p[0, 1, :] = np.nan
+    idx, _ = ctc_topk_pallas(jnp.asarray(p), interpret=True)
+    assert int(np.asarray(idx).max()) < 333
+
+
 def test_pallas_blob_stats_interpret():
     """blob_stats_pallas == the masked-reduction formulation
     (pipeline.fused._blob_stats) on a random label map, including
