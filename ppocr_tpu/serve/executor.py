@@ -56,27 +56,45 @@ class EngineRecoveryMixin:
         # stalls — operators can now distinguish that from a hang
         self.reloading = False
         self._reload_lock = asyncio.Lock()
-        self._last_reload = 0.0
+        self._last_attempt = 0.0  # cooldown keys off ATTEMPTS: a failed
+        # reload must not be retried per-request (reload storm, review r3)
+        self._last_attempt_ok = False
 
     async def _recover_engine(self) -> bool:
-        """Returns True when a reload actually ran."""
+        """Returns True when the engine is freshly healthy — either this
+        call reloaded it, or another request's reload just succeeded
+        within the cooldown window (the caller should retry either way)."""
         import time
 
         async with self._reload_lock:
             now = time.monotonic()
-            if now - self._last_reload < self._recover_cooldown and (
-                self.engine_reloads > 0
+            if (
+                self._last_attempt
+                and now - self._last_attempt < self._recover_cooldown
             ):
-                return False
+                # a reload just ran (or just failed): don't thrash the
+                # event loop with another multi-minute attempt, but DO
+                # tell the caller to retry if that reload succeeded —
+                # its request predates the recovery and deserves the
+                # one retry like the request that triggered it
+                return self._last_attempt_ok
             reload_fn = getattr(self.engine, "reload", None)
             if reload_fn is None:
                 return False
             self.reloading = True
+            self._last_attempt_ok = False
             try:
                 reload_fn(warmup=True)  # event loop == main thread: compiles OK
+            except Exception:
+                # stamp the failed attempt (cooldown engages; without it a
+                # wedged device re-runs a blocking reload per request) and
+                # report unhealthy instead of letting the exception kill
+                # the caller (the batcher's consumer task, review r3)
+                return False
             finally:
                 self.reloading = False
-            self._last_reload = time.monotonic()
+                self._last_attempt = time.monotonic()
+            self._last_attempt_ok = True
             self.engine_reloads += 1
             self._after_engine_reload()
             return True
@@ -93,7 +111,11 @@ class Dispatcher(EngineRecoveryMixin):
         self.workers: List[OCRWorker] = [
             OCRWorker(engine, worker_id=i) for i in range(num_workers)
         ]
-        self._idle: List[bool] = [True] * num_workers
+        # in-flight COUNT per worker, not an idle bool: with round-robin
+        # overflow a worker can carry two requests, and the first one
+        # finishing must not mark it idle while the second still runs
+        # (review r3 — skews the first-idle policy onto one worker)
+        self._inflight: List[int] = [0] * num_workers
         self._lock = threading.Lock()
         self._rr = itertools.count()
         self._pool = ThreadPoolExecutor(
@@ -117,11 +139,13 @@ class Dispatcher(EngineRecoveryMixin):
         """First idle worker, else round-robin — the reference's policy
         (cpu_worker_pool.cpp:43-56)."""
         with self._lock:
-            for i, idle in enumerate(self._idle):
-                if idle:
-                    self._idle[i] = False
+            for i, n in enumerate(self._inflight):
+                if n == 0:
+                    self._inflight[i] += 1
                     return i
-            return next(self._rr) % len(self.workers)
+            i = next(self._rr) % len(self.workers)
+            self._inflight[i] += 1
+            return i
 
     def _run(self, worker_idx: int, image: Optional[np.ndarray], request_id: int):
         try:
@@ -133,7 +157,7 @@ class Dispatcher(EngineRecoveryMixin):
             return result
         finally:
             with self._lock:
-                self._idle[worker_idx] = True
+                self._inflight[worker_idx] -= 1
 
     def worker_stats(self):
         with self._lock:

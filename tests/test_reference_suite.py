@@ -74,11 +74,11 @@ class TestReferenceSuite:
     def test_idle_state(self, engine):
         """IdleState: workers report idle before/after a request."""
         d = Dispatcher(engine, num_workers=2)
-        assert all(d._idle)
+        assert all(n == 0 for n in d._inflight)
         idx = d._pick_worker()
-        assert d._idle[idx] is False
+        assert d._inflight[idx] == 1
         d._run(idx, synthetic_image(), 1)
-        assert d._idle[idx] is True
+        assert d._inflight[idx] == 0
         d.shutdown()
 
     def test_invalid_model_path(self):

@@ -78,7 +78,9 @@ class TestBatchingDispatcherSupervision:
         assert all("device exploded" in r["error"] for r in bad)
         assert good["success"] is True
         stats = disp.worker_stats()[0]
-        assert stats["consumer_restarts"] == 1
+        # batch failures are contained in their batch task now — the
+        # gather loop never died, so no restart was needed
+        assert stats["consumer_restarts"] == 0
         assert stats["errors"] >= 2
         disp.shutdown()
 
@@ -223,7 +225,7 @@ class TestDeviceLossRecovery:
 
         disp.engine = eng
         disp.workers = [StubWorker(eng, 0)]
-        disp._idle = [True]
+        disp._inflight = [0]
         disp._lock = threading.Lock()
         disp._rr = itertools.count()
         disp._pool = ThreadPoolExecutor(max_workers=1)
@@ -332,3 +334,171 @@ class TestBatchBucketList:
         r = asyncio.run(run())
         assert r["success"] is True and r["request_id"] == 11
         disp.shutdown()
+
+
+class TestRecoveryReviewFixes:
+    """Round-3 review findings on the recovery layer."""
+
+    def test_failed_reload_engages_cooldown_not_a_storm(self):
+        """A reload that raises must stamp the attempt (cooldown engages)
+        and report unhealthy — not re-run a blocking reload per request
+        and not kill the batcher's consumer task."""
+        eng = FakeEngine(fast_path=True)
+        eng.reload_calls = 0
+
+        def bad_reload(warmup=False):
+            eng.reload_calls += 1
+            raise RuntimeError("device still wedged")
+
+        eng.reload = bad_reload
+        disp = BatchingDispatcher(eng, num_workers=1, max_wait_ms=2)
+        eng._fused.fail_next = 99  # every batch raises device loss
+
+        class DeviceLossFused(FakeFused):
+            def process_batch(self, images, request_ids, **kw):
+                raise RuntimeError("INTERNAL: stream closed: device lost")
+
+        eng._fused = DeviceLossFused()
+        disp.fused = eng._fused
+
+        async def run():
+            rs = []
+            for i in range(4):
+                rs.append(await disp.submit(IMG, i))
+            # the consumer survived all four failing batches (checked
+            # inside the loop: asyncio.run cancels tasks at exit)
+            alive = disp._consumer is not None and not disp._consumer.done()
+            return rs, alive
+
+        rs, alive = asyncio.run(run())
+        assert all(r["success"] is False for r in rs)
+        # one attempt, then the cooldown suppresses the other three
+        assert eng.reload_calls == 1
+        assert disp.engine_reloads == 0
+        assert alive
+        disp.shutdown()
+
+    def test_cooldown_still_allows_retry_after_recent_success(self):
+        """A request whose device-loss lands just after another request's
+        successful reload must still get its one retry (the engine IS
+        freshly healthy) instead of failing back to the client."""
+        import itertools
+        import threading
+        from concurrent.futures import ThreadPoolExecutor
+
+        eng = FakeEngine(fast_path=False)
+        eng.healthy = False
+        eng.reload_calls = 0
+
+        def reload(warmup=False):
+            eng.reload_calls += 1
+            eng.healthy = True
+
+        eng.reload = reload
+        disp = Dispatcher.__new__(Dispatcher)
+
+        class StubWorker:
+            def __init__(self, engine, wid):
+                self.engine = engine
+
+            def process(self, image, request_id):
+                if not self.engine.healthy:
+                    return {
+                        "request_id": request_id,
+                        "success": False,
+                        "error": "device lost",
+                    }
+                return {"request_id": request_id, "success": True, "words": []}
+
+        disp.engine = eng
+        disp.workers = [StubWorker(eng, 0)]
+        disp._inflight = [0]
+        disp._lock = threading.Lock()
+        disp._rr = itertools.count()
+        disp._pool = ThreadPoolExecutor(max_workers=1)
+        disp._requests = [0]
+        disp._errors = [0]
+        disp._init_recovery()
+        disp._after_engine_reload = lambda: None
+
+        async def run():
+            r1 = await disp.submit(IMG, 1)  # loss -> reload -> retry ok
+            eng.healthy = False  # device drops again within the cooldown
+
+            # stage a request that fails with device loss, then becomes
+            # healthy without another reload (simulating the in-flight
+            # sibling whose error predates the recovery)
+            orig = disp.workers[0].process
+            calls = {"n": 0}
+
+            def flaky(image, request_id):
+                calls["n"] += 1
+                if calls["n"] == 1:
+                    return {
+                        "request_id": request_id,
+                        "success": False,
+                        "error": "device lost",
+                    }
+                return {"request_id": request_id, "success": True, "words": []}
+
+            disp.workers[0].process = flaky
+            r2 = await disp.submit(IMG, 2)
+            disp.workers[0].process = orig
+            return r1, r2
+
+        r1, r2 = asyncio.run(run())
+        assert r1["success"] is True
+        # retry ran without a second reload (cooldown suppressed it) and
+        # succeeded — the old code returned the stale error here
+        assert r2["success"] is True
+        assert eng.reload_calls == 1
+        disp.shutdown()
+
+    def test_dead_futures_are_not_batched(self):
+        """Items whose future is already done (client timeout) must be
+        dropped before the batch is built — device work for them wastes
+        batch slots under overload."""
+        eng = FakeEngine(fast_path=True)
+        disp = BatchingDispatcher(eng, num_workers=1, max_wait_ms=20)
+        seen = []
+
+        class RecordingFused(FakeFused):
+            def process_batch(self, images, request_ids, **kw):
+                seen.append(list(request_ids))
+                return super().process_batch(images, request_ids, **kw)
+
+        eng._fused = RecordingFused()
+        disp.fused = eng._fused
+
+        async def run():
+            import time
+
+            # prime queue/consumer bindings
+            await disp.submit(IMG, 0)
+            dead = asyncio.get_running_loop().create_future()
+            dead.cancel()
+            await disp._queue.put((IMG, 99, dead, time.perf_counter()))
+            return await disp.submit(IMG, 1)
+
+        r = asyncio.run(run())
+        assert r["success"] is True
+        assert all(99 not in batch for batch in seen), seen
+
+    def test_shutdown_fails_queued_requests_promptly(self):
+        eng = FakeEngine(fast_path=True)
+        disp = BatchingDispatcher(eng, num_workers=1, max_wait_ms=2)
+
+        async def run():
+            import time
+
+            await disp.submit(IMG, 0)  # bind queue/consumer
+            disp._consumer.cancel()
+            await asyncio.sleep(0.01)
+            fut = asyncio.get_running_loop().create_future()
+            await disp._queue.put((IMG, 7, fut, time.perf_counter()))
+            disp.shutdown()
+            return await asyncio.wait_for(fut, 1.0)
+
+        r = asyncio.run(run())
+        assert r["success"] is False
+        assert "shutting down" in r["error"]
