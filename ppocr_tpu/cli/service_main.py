@@ -129,9 +129,9 @@ def build_parser() -> argparse.ArgumentParser:
         "--request-timeout",
         type=float,
         default=30000.0,
-        help="per-request wall-clock ceiling in ms (reference clients honor "
-        "--timeout; the service enforces it too so a wedged request cannot "
-        "pin a connection forever)",
+        help="per-request wall-clock ceiling in ms; 0 disables it "
+        "(reference clients honor --timeout; the service enforces it too "
+        "so a wedged request cannot pin a connection forever)",
     )
     p.add_argument(
         "--system-info",

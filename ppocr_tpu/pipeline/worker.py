@@ -53,18 +53,22 @@ class OCRWorker:
     def process(
         self, image_bgr: Optional[np.ndarray], request_id: int
     ) -> Dict:
+        # ONE response skeleton for every branch (fused/staged × empty/
+        # error) — the schema lives here and nowhere else
+        base = {
+            "request_id": int(request_id),
+            "width": 0,
+            "height": 0,
+            "success": False,
+            "processing_time_ms": 0.0,
+            "worker_id": self.worker_id,
+        }
+        if image_bgr is None or image_bgr.size == 0:
+            return {**base, "error": "Empty image data provided"}
+        base["width"] = int(image_bgr.shape[1])
+        base["height"] = int(image_bgr.shape[0])
+        start = time.perf_counter()
         if self._fused is not None:
-            if image_bgr is None or image_bgr.size == 0:
-                return {
-                    "request_id": int(request_id),
-                    "width": 0,
-                    "height": 0,
-                    "success": False,
-                    "processing_time_ms": 0.0,
-                    "worker_id": self.worker_id,
-                    "error": "Empty image data provided",
-                }
-            start = time.perf_counter()
             try:
                 return self._fused.process(
                     image_bgr, request_id, worker_id=self.worker_id
@@ -74,28 +78,11 @@ class OCRWorker:
                 # check sees it and can reload+retry — previously only the
                 # staged branch converted exceptions (ADVICE r2 medium)
                 return {
-                    "request_id": int(request_id),
-                    "width": int(image_bgr.shape[1]),
-                    "height": int(image_bgr.shape[0]),
-                    "success": False,
+                    **base,
                     "processing_time_ms": (time.perf_counter() - start) * 1e3,
-                    "worker_id": self.worker_id,
                     "error": str(e),
                 }
-        start = time.perf_counter()
-        base = {
-            "request_id": int(request_id),
-            "width": 0,
-            "height": 0,
-            "success": False,
-            "processing_time_ms": 0.0,
-            "worker_id": self.worker_id,
-        }
         try:
-            if image_bgr is None or image_bgr.size == 0:
-                return {**base, "error": "Empty image data provided"}
-            base["width"] = int(image_bgr.shape[1])
-            base["height"] = int(image_bgr.shape[0])
 
             boxes, det_times = self.engine.detect(image_bgr)
             stage_times = {"det_ms": det_times.as_list()}

@@ -10,6 +10,9 @@ the pipe "Windows-only plumbing, not a capability"):
            {"command": "shutdown"}  → reply, then stop after ≤200 ms drain
   errors   {"success": false, "error": …}  (same messages as the reference)
 
+request_id is 0-based exactly like the reference (fetch_add(1) returns the
+pre-increment value, ocr_ipc_service.cpp:49,426).
+
 Framing: newline-delimited compact JSON in both directions (the message-
 type pipe framed for the reference; a stream socket needs explicit
 framing). The 1 MB inbound guard and its exact error text are preserved;
@@ -83,6 +86,15 @@ class OCRIPCService:
         self.engine = engine or OCREngine(model_dir, config)
         cfg = self.engine.config
         if cfg.fast_path and max(cfg.request_batch_buckets) > 1:
+            if getattr(cfg, "cross_chip", False):
+                # guard at the service too, not just the CLI: a direct
+                # constructor caller would otherwise silently get the
+                # single-chip BatchingDispatcher (review r3)
+                raise ValueError(
+                    "cross_chip is incompatible with request batching "
+                    "(request_batch_buckets > 1): the batching dispatcher "
+                    "serves the single-chip fused step"
+                )
             from .batcher import BatchingDispatcher
 
             self.dispatcher = BatchingDispatcher(self.engine, self.num_workers)
@@ -92,13 +104,18 @@ class OCRIPCService:
         self.running = False
         # per-request wall-clock ceiling (the reference client honors
         # --timeout, ocr_ipc_client.cpp:102-133, but its service would pin
-        # a connection forever on a wedged worker — fixed here)
-        self.request_timeout = max(request_timeout_ms, 1.0) / 1000.0
+        # a connection forever on a wedged worker — fixed here);
+        # 0 or negative disables the ceiling
+        self.request_timeout = (
+            request_timeout_ms / 1000.0 if request_timeout_ms > 0 else None
+        )
         # self-recycle after N recognize requests (0 = never): bounds the
         # axon host-RSS transfer leak (~260 KB/request, docs/PERF.md) under
         # a supervisor that restarts recycled workers (serve.balancer)
         self.recycle_after = int(recycle_after)
         self.recycled = False
+        # 0-based like the reference: fetch_add(1) RETURNS the old value
+        # (ocr_ipc_service.cpp:49,426), so the first request_id is 0
         self.request_counter = 0
         self.total_requests = 0
         self.successful_requests = 0
@@ -108,6 +125,7 @@ class OCRIPCService:
         self._server: Optional[asyncio.AbstractServer] = None
         self._loop: Optional[asyncio.AbstractEventLoop] = None
         self._active_clients = 0
+        self._inflight_requests = 0
         self._stopped = asyncio.Event()
 
     # -- status ------------------------------------------------------------
@@ -116,9 +134,13 @@ class OCRIPCService:
         """JSON string, embedded verbatim under the response's "status"
         key — matching the reference's string-in-string encoding
         (ocr_ipc_service.cpp:372, 438-448)."""
+        # success-only mean: the time sum only accumulates for successful
+        # requests, so dividing by total would understate latency exactly
+        # when the service degrades (review r3); matches the balancer's
+        # merged-status math
         avg = (
-            self.total_processing_time / self.total_requests
-            if self.total_requests > 0
+            self.total_processing_time / self.successful_requests
+            if self.successful_requests > 0
             else 0.0
         )
         return json.dumps(
@@ -149,16 +171,24 @@ class OCRIPCService:
 
             command = request.get("command", "")
             if command == "recognize":
+                loop = asyncio.get_running_loop()
                 image = None
                 error_msg = ""
                 image_path = request.get("image_path", "")
                 image_b64 = request.get("image_data", "")
+                # decode off the event loop: a ~1 MB base64 JPEG costs tens
+                # of ms of imdecode, which would stall every other
+                # connection and defeat the batcher's coalescing window
                 if image_path:
-                    image = cv2.imread(image_path)
+                    image = await loop.run_in_executor(
+                        None, cv2.imread, image_path
+                    )
                     if image is None:
                         error_msg = f"Failed to load image from path: {image_path}"
                 elif image_b64:
-                    image = decode_base64_image(image_b64)
+                    image = await loop.run_in_executor(
+                        None, decode_base64_image, image_b64
+                    )
                     if image is None:
                         error_msg = "Failed to decode base64 image data"
                 else:
@@ -166,9 +196,10 @@ class OCRIPCService:
                 if error_msg:
                     return {"success": False, "error": error_msg}
 
-                self.request_counter += 1
                 request_id = self.request_counter
+                self.request_counter += 1
                 self.total_requests += 1
+                self._inflight_requests += 1
                 try:
                     result = await asyncio.wait_for(
                         self.dispatcher.submit(image, request_id),
@@ -185,6 +216,17 @@ class OCRIPCService:
                             f"{int(self.request_timeout * 1000)} ms"
                         ),
                     }
+                except Exception as e:
+                    # counted here so total == successful + failed holds
+                    # even on dispatcher-level failures (review r3)
+                    self.failed_requests += 1
+                    return {
+                        "request_id": request_id,
+                        "success": False,
+                        "error": str(e),
+                    }
+                finally:
+                    self._inflight_requests -= 1
                 if result.get("success"):
                     self.successful_requests += 1
                     self.total_processing_time += result.get(
@@ -209,10 +251,15 @@ class OCRIPCService:
             return {"success": False, "error": str(e)}
 
     async def _delayed_stop(self):
-        """Reply-then-stop with ≤200 ms drain (ocr_ipc_service.cpp:385-404)."""
+        """Reply-then-stop with ≤200 ms drain (ocr_ipc_service.cpp:385-404).
+
+        Drains on IN-FLIGHT REQUESTS, not open connections: pooled
+        keep-alive clients (the balancer holds 8 channels/worker) keep
+        connections open while idle, which would burn the full window and
+        then kill requests mid-dispatch on other connections (review r3)."""
         for _ in range(20):
             await asyncio.sleep(0.01)
-            if self._active_clients == 0:
+            if self._inflight_requests == 0:
                 break
         await self.stop_async()
 
@@ -230,7 +277,10 @@ class OCRIPCService:
                     break
                 if not line:
                     break
-                if len(line) > MAX_MESSAGE_BYTES:
+                # the reference rejects at bytes_read == buffer-1, i.e. a
+                # payload of 1,048,575 bytes already errors; with the \n
+                # included that is len(line) >= 1 MB (ocr_ipc_service.cpp:222)
+                if len(line) >= MAX_MESSAGE_BYTES:
                     writer.write(_compact({"success": False, "error": TOO_LARGE_ERROR}))
                     await writer.drain()
                     continue

@@ -502,3 +502,121 @@ class TestRecoveryReviewFixes:
         r = asyncio.run(run())
         assert r["success"] is False
         assert "shutting down" in r["error"]
+
+
+class TestServiceCounterSemantics:
+    """Round-3 review: request ids, timeout=0, counter invariants."""
+
+    def _service(self, timeout_ms=30000.0):
+        return OCRIPCService(
+            model_dir="/nonexistent",
+            socket_path="/tmp/unused-robustness2.sock",
+            cpu_workers=1,
+            engine=FakeEngine(fast_path=False),
+            request_timeout_ms=timeout_ms,
+        )
+
+    def _line(self):
+        return json.dumps(
+            {"command": "recognize", "image_data": tiny_b64()}
+        ).encode()
+
+    def test_request_ids_are_zero_based(self):
+        """fetch_add(1) returns the PRE-increment value, so the reference's
+        first request_id is 0 (ocr_ipc_service.cpp:49,426)."""
+        svc = self._service()
+
+        async def ok(image, request_id):
+            return {"request_id": request_id, "success": True,
+                    "processing_time_ms": 5.0}
+
+        svc.dispatcher.submit = ok
+
+        async def run():
+            r0 = await svc.process_request(self._line())
+            r1 = await svc.process_request(self._line())
+            return r0, r1
+
+        r0, r1 = asyncio.run(run())
+        assert r0["request_id"] == 0 and r1["request_id"] == 1
+
+    def test_timeout_zero_disables_the_ceiling(self):
+        svc = self._service(timeout_ms=0)
+        assert svc.request_timeout is None
+
+        async def slow(image, request_id):
+            await asyncio.sleep(0.15)
+            return {"request_id": request_id, "success": True,
+                    "processing_time_ms": 150.0}
+
+        svc.dispatcher.submit = slow
+        r = asyncio.run(svc.process_request(self._line()))
+        assert r["success"] is True
+        assert svc.timed_out_requests == 0
+
+    def test_average_is_success_only(self):
+        """5 failures must not drag the reported average toward zero —
+        the time sum only accumulates on success."""
+        svc = self._service()
+        outcomes = iter([True, False, True])
+
+        async def mixed(image, request_id):
+            ok = next(outcomes)
+            return {
+                "request_id": request_id,
+                "success": ok,
+                "processing_time_ms": 100.0 if ok else 0.0,
+                **({} if ok else {"error": "boom"}),
+            }
+
+        svc.dispatcher.submit = mixed
+
+        async def run():
+            for _ in range(3):
+                await svc.process_request(self._line())
+
+        asyncio.run(run())
+        status = json.loads(svc.get_status_info())
+        assert status["average_processing_time_ms"] == 100.0
+        assert (
+            status["total_requests"]
+            == status["successful_requests"] + status["failed_requests"]
+        )
+
+    def test_dispatcher_exception_counts_as_failed(self):
+        """total == successful + failed must hold even when submit raises
+        (e.g. pool shut down mid-recycle)."""
+        svc = self._service()
+
+        async def boom(image, request_id):
+            raise RuntimeError("cannot schedule new futures after shutdown")
+
+        svc.dispatcher.submit = boom
+        r = asyncio.run(svc.process_request(self._line()))
+        assert r["success"] is False
+        assert svc.failed_requests == 1
+        assert svc.total_requests == (
+            svc.successful_requests + svc.failed_requests
+        )
+
+    def test_drain_waits_on_inflight_not_connections(self):
+        """Idle pooled connections must not make the recycle drain kill
+        in-flight requests: _delayed_stop polls in-flight requests."""
+        svc = self._service()
+        svc.running = True
+        svc._active_clients = 8  # pooled idle connections held open
+        svc._inflight_requests = 0
+        stopped = []
+
+        async def fake_stop():
+            stopped.append(True)
+
+        svc.stop_async = fake_stop
+
+        async def run():
+            t0 = asyncio.get_running_loop().time()
+            await svc._delayed_stop()
+            return asyncio.get_running_loop().time() - t0
+
+        dt = asyncio.run(run())
+        assert stopped and dt < 0.1  # drained immediately despite clients

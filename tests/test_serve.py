@@ -123,6 +123,25 @@ class TestProtocol:
         )
         s.close()
 
+    def test_oversize_boundary_matches_reference(self, service):
+        """The reference rejects at bytes_read == buffer-1: a payload of
+        exactly 1,048,575 bytes errors; one byte less is processed
+        (ocr_ipc_service.cpp:222)."""
+
+        def probe(payload_len):
+            s = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+            s.connect(SOCKET)
+            s.settimeout(30)
+            s.sendall(b"x" * payload_len + b"\n")
+            f = s.makefile("rb")
+            r = json.loads(f.readline())
+            s.close()
+            return r["error"]
+
+        assert probe(1048575).startswith("Data too large")
+        # one byte under the boundary reaches the JSON parser instead
+        assert probe(1048574).startswith("Invalid JSON")
+
     def test_concurrent_clients(self, service, card_image_path):
         results = []
 
