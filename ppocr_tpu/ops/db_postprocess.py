@@ -28,12 +28,19 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _roundf(x: np.ndarray) -> np.ndarray:
+    """C roundf: half away from zero (np.round is banker's rounding and
+    would shift exact-.5 box corners 1 px off the reference/native path)."""
+    return np.sign(x) * np.floor(np.abs(x) + 0.5)
+
+
 def binarize_device(prob_map: jnp.ndarray, thresh: float, dilate: bool = False):
     """Device half: probability map → uint8 {0,255} bitmap (+2×2 dilation).
 
     Matches ocr_det.cpp:144-160: quantize to uint8 by truncation, then
-    strict > thresh·255. A 2×2 dilation (anchor top-left) equals a max-pool
-    over the window [(0,1),(0,1)].
+    strict > thresh·255. The 2×2 dilation anchors like cv2's even kernel:
+    out(y,x) = max(in[y-1..y, x-1..x]) — ink spreads down-right (see the
+    inline comment; keep doc and code in agreement, review r3).
     """
     cbuf = (prob_map * 255.0).astype(jnp.uint8)
     bit = (cbuf > jnp.uint8(int(thresh * 255))).astype(jnp.uint8)
@@ -182,13 +189,19 @@ def boxes_from_bitmap(
         cliparray, ssid = get_mini_boxes(clipped)
         if ssid < min_size + 2:
             continue
+        # roundf semantics (half away from zero, postprocess_op.cpp:319),
+        # NOT np.round's banker's rounding: an exact .5 coordinate would
+        # otherwise shift a corner 1 px and disagree with the native
+        # backend's std::round (review r3)
         quad = np.stack(
             [
                 np.clip(
-                    np.round(cliparray[:, 0] / width * dest_width), 0, dest_width
+                    _roundf(cliparray[:, 0] / width * dest_width),
+                    0,
+                    dest_width,
                 ),
                 np.clip(
-                    np.round(cliparray[:, 1] / height * dest_height),
+                    _roundf(cliparray[:, 1] / height * dest_height),
                     0,
                     dest_height,
                 ),

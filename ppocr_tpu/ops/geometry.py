@@ -24,10 +24,13 @@ def bounding_crop(img: np.ndarray, box: Sequence[Sequence[int]]) -> np.ndarray:
     perspective crop; preserved as a behavioral quirk for output parity)."""
     pts = np.asarray(box, dtype=np.int32)
     x, y, w, h = cv2.boundingRect(pts)
-    x = max(0, x)
-    y = max(0, y)
+    # cv::Rect intersection (bbox &= Rect(0,0,cols,rows)): the far edge is
+    # min(cols, x+w) with the ORIGINAL x — clamping x first would widen
+    # the crop for negative origins (review r3)
     x2 = min(img.shape[1], x + w)
     y2 = min(img.shape[0], y + h)
+    x = max(0, x)
+    y = max(0, y)
     if x2 <= x or y2 <= y:
         return np.zeros((0, 0, 3), dtype=img.dtype)
     return img[y:y2, x:x2].copy()
@@ -52,9 +55,11 @@ def get_rotate_crop_image(
         [[0, 0], [width, 0], [width, height], [0, height]], dtype=np.float32
     )
     m = cv2.getPerspectiveTransform(shifted, std)
-    dst = cv2.warpPerspective(
-        crop, m, (width, height), borderMode=cv2.BORDER_REPLICATE
-    )
+    # quirk preserved: the reference passes cv::BORDER_REPLICATE in the
+    # FLAGS position of the 5-arg warpPerspective (utility.cpp:178-181),
+    # and BORDER_REPLICATE==1==INTER_LINEAR — so it actually runs with
+    # default BORDER_CONSTANT (black) borders. Match that, not the intent.
+    dst = cv2.warpPerspective(crop, m, (width, height))
     if dst.shape[0] >= dst.shape[1] * 1.5:
         dst = cv2.flip(cv2.transpose(dst), 0)
     return dst
@@ -79,12 +84,15 @@ def sort_boxes(boxes: List[np.ndarray]) -> List[int]:
 
 
 def iou_float(a: Sequence[float], b: Sequence[float]) -> float:
-    """Axis-aligned IoU over [x1, y1, x2, y2] floats (utility.cpp:402-424)."""
+    """Axis-aligned IoU over [x1, y1, x2, y2] floats (utility.cpp:401-424):
+    areas clamp at 0 (inverted boxes contribute nothing) and the epsilon
+    denominator returns 0.0 on crossing degenerate boxes instead of a
+    ZeroDivisionError (reachable via hard_nms on saturated DFL boxes)."""
     if a[2] <= b[0] or a[0] >= b[2] or a[3] <= b[1] or a[1] >= b[3]:
         return 0.0
     ix = min(a[2], b[2]) - max(a[0], b[0])
     iy = min(a[3], b[3]) - max(a[1], b[1])
     inter = max(ix, 0.0) * max(iy, 0.0)
-    area_a = (a[2] - a[0]) * (a[3] - a[1])
-    area_b = (b[2] - b[0]) * (b[3] - b[1])
-    return inter / (area_a + area_b - inter)
+    area_a = max(0.0, a[2] - a[0]) * max(0.0, a[3] - a[1])
+    area_b = max(0.0, b[2] - b[0]) * max(0.0, b[3] - b[1])
+    return inter / (area_a + area_b - inter + 1e-8)

@@ -69,6 +69,15 @@ class FusedOutputs(NamedTuple):
     # axis box corners otherwise
 
 
+def _dilate2x2(fg: jnp.ndarray) -> jnp.ndarray:
+    """cv2.dilate with a 2×2 MORPH_RECT kernel: the even kernel anchors so
+    dst(y,x) = max src[y-1..y, x-1..x] — ink spreads DOWN-RIGHT (verified
+    against cv2; binarize_device/binarize_np implement the same window).
+    Getting the direction wrong is a silent 1 px box shift."""
+    fgp = jnp.pad(fg, ((1, 0), (1, 0)))
+    return fgp[1:, 1:] | fgp[1:, :-1] | fgp[:-1, 1:] | fgp[:-1, :-1]
+
+
 def _connected_components(fg: jnp.ndarray, max_iters: int | None = None) -> jnp.ndarray:
     """8-connected min-label propagation. fg: [H, W] bool → [H, W] int32
     labels (= min flat index of the blob; background = H*W).
@@ -347,14 +356,10 @@ def build_fused_parts(
         )
         fg = fg & in_content
         if use_dilation:
-            # cv2.dilate with a 2×2 MORPH_RECT kernel anchors at (0,0):
-            # dst(y,x) = max src[y..y+1, x..x+1] (binarize_np parity). The
-            # staged path dilates the content-cropped bitmap, so re-mask
-            # to keep dilation from bleeding past the content edge.
-            fgp = jnp.pad(fg, ((0, 1), (0, 1)))
-            fg = (
-                fgp[:-1, :-1] | fgp[:-1, 1:] | fgp[1:, :-1] | fgp[1:, 1:]
-            ) & in_content
+            # (binarize_np parity; the staged path dilates the content-
+            # cropped bitmap, so re-mask to keep dilation from bleeding
+            # past the content edge)
+            fg = _dilate2x2(fg) & in_content
         labels = _connected_components(fg)
         stats = _blob_stats(
             labels, prob, max_boxes, rotated=rotated, use_pallas=blob_kernel

@@ -295,6 +295,28 @@ class TestSourceCoordFilter:
 
 
 class TestFusedDilation:
+    def test_dilate2x2_matches_cv2_exactly(self):
+        """The even 2×2 kernel's anchor makes ink spread DOWN-RIGHT; an
+        anchor flip is a silent 1 px box shift that box-IoU gates can't
+        see (review r3)."""
+        import jax
+        import jax.numpy as jnp
+
+        from ppocr_tpu.pipeline.fused import _dilate2x2
+
+        rng = np.random.default_rng(9)
+        for _ in range(6):
+            mask = rng.random((40, 56)) < 0.15
+            want = (
+                cv2.dilate(
+                    mask.astype(np.uint8) * 255,
+                    cv2.getStructuringElement(cv2.MORPH_RECT, (2, 2)),
+                )
+                > 0
+            )
+            got = np.asarray(jax.jit(_dilate2x2)(jnp.asarray(mask)))
+            np.testing.assert_array_equal(got, want)
+
     def test_dilation_matches_staged(self, reference_models):
         """use_dilation=True must behave in the fused graph like the staged
         binarize_np 2×2 cv2.dilate (review r3: it used to be silently

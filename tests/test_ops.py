@@ -274,3 +274,61 @@ class TestDetFitCap:
         # ratios stay resized/src so boxes map back to source coords
         assert nrh == pytest.approx(oh / 178)
         assert nrw == pytest.approx(ow / 391)
+
+
+class TestReferenceExactSemantics:
+    """Round-3 review: C-exact rounding/clamping corners."""
+
+    def test_roundf_half_away_from_zero(self):
+        from ppocr_tpu.ops.db_postprocess import _roundf
+
+        x = np.array([0.5, 1.5, 2.5, -0.5, -1.5, 2.4])
+        np.testing.assert_array_equal(
+            _roundf(x), [1.0, 2.0, 3.0, -1.0, -2.0, 2.0]
+        )
+
+    def test_box_corners_round_like_the_reference(self):
+        """A centered square blob lands on an exact-.5 corner after unclip;
+        np.round (banker's) rounded 2.5 down to 2 where roundf/std::round —
+        the reference and the native backend — give 3."""
+        from ppocr_tpu.ops import boxes_from_bitmap
+
+        prob = np.zeros((16, 16), np.float32)
+        prob[4:8, 4:8] = 0.9
+        bitmap = ((prob * 255).astype(np.uint8) > 51).astype(np.uint8) * 255
+        boxes = boxes_from_bitmap(prob, bitmap, 0.4, 1.8, "fast")
+        assert len(boxes) == 1
+        # the min corner is exactly 2.5: banker's rounding gave 2
+        assert boxes[0].min() == 3, boxes[0]
+
+    def test_iou_degenerate_crossing_boxes(self):
+        """Zero-area crossing boxes: the reference returns 0.0 via its
+        epsilon denominator; this used to ZeroDivisionError."""
+        from ppocr_tpu.ops import iou_float
+
+        assert iou_float([3, 0, 3, 5], [0, 2, 7, 2]) == 0.0
+        # inverted boxes clamp to zero area instead of going negative
+        assert iou_float([5, 5, 1, 1], [0, 0, 4, 4]) == 0.0
+
+    def test_bounding_crop_negative_origin_intersects(self):
+        """cv::Rect intersection: bbox &= Rect(0,0,cols,rows) keeps the far
+        edge at x+w with the ORIGINAL x; clamping x first widened crops."""
+        from ppocr_tpu.ops import bounding_crop
+
+        img = np.arange(100 * 100 * 3, dtype=np.uint8).reshape(100, 100, 3)
+        crop = bounding_crop(img, [[-5, 10], [14, 10], [14, 20], [-5, 20]])
+        assert crop.shape[1] == 15  # [0, 15), not [0, 20)
+
+    def test_perspective_crop_uses_black_borders(self):
+        """The reference's 5-arg warpPerspective passes BORDER_REPLICATE in
+        the FLAGS position (==INTER_LINEAR), so it actually warps with
+        default black borders — quirk preserved."""
+        from ppocr_tpu.ops import get_rotate_crop_image
+
+        img = np.full((40, 40, 3), 200, np.uint8)
+        # rotated quad: the upright warp samples outside the crop corners
+        box = [[20, 2], [38, 20], [20, 38], [2, 20]]
+        crop = get_rotate_crop_image(img, box)
+        # with BORDER_REPLICATE every pixel would be exactly 200; constant
+        # (black) borders blend the corners below it
+        assert crop.min() < 200
