@@ -44,7 +44,7 @@ def _pair(v: Sequence[int]) -> List[int]:
     return v * 2 if len(v) == 1 else v
 
 
-def _conv_padding(attrs: Dict, kh: int, kw: int, dil) -> List:
+def _conv_padding(attrs: Dict) -> List:
     algo = attrs.get("padding_algorithm", "EXPLICIT")
     if algo == "VALID":
         return [(0, 0), (0, 0)]
@@ -62,7 +62,7 @@ def _op_conv2d(op: OpDesc, x, w):
     strides = tuple(op.attr("strides", [1, 1]))
     dil = tuple(op.attr("dilations", [1, 1]))
     groups = int(op.attr("groups", 1) or 1)
-    pad = _conv_padding(op.attrs, w.shape[2], w.shape[3], dil)
+    pad = _conv_padding(op.attrs)
     return lax.conv_general_dilated(
         x,
         w,
@@ -88,6 +88,9 @@ def _op_conv2d_transpose(op: OpDesc, x, w):
     groups = int(op.attr("groups", 1) or 1)
     if groups != 1:
         raise NotImplementedError("grouped conv2d_transpose not used by PP-OCR")
+    if tuple(op.attr("dilations", [1, 1])) != (1, 1):
+        # silently executing as dilation 1 would be wrong-valued output
+        raise NotImplementedError("dilated conv2d_transpose not supported")
     kh, kw = w.shape[2], w.shape[3]
     kernel = jnp.flip(w.transpose(1, 0, 2, 3), axis=(2, 3))  # → (C_out, C_in, kH, kW)
     return lax.conv_general_dilated(
@@ -117,17 +120,28 @@ def _op_pool2d(op: OpDesc, x):
             xr = x.reshape(n, c, oh, h // oh, ow, wdt // ow)
             return jnp.mean(xr, axis=(3, 5)) if ptype == "avg" else jnp.max(xr, axis=(3, 5))
         raise NotImplementedError("non-divisible adaptive pool")
-    strides = tuple(op.attr("strides", ksize))
-    p = list(op.attr("paddings", [0, 0]))
-    if len(p) == 2:
-        pads = [(p[0], p[0]), (p[1], p[1])]
+    # Paddle's pool2d default stride is [1, 1] (NOT the kernel size)
+    strides = tuple(_pair(op.attr("strides", [1, 1])))
+    algo = op.attr("padding_algorithm", "EXPLICIT")
+    if algo == "VALID":
+        pads = [(0, 0), (0, 0)]
+    elif algo == "SAME":
+        # SAME overrides explicit paddings (like the conv path): pad so
+        # out = ceil(dim / stride), extra on the bottom/right
+        pads = []
+        for dim, k, s in zip(x.shape[2:], ksize, strides):
+            out = -(-dim // s)
+            total = max((out - 1) * s + k - dim, 0)
+            pads.append((total // 2, total - total // 2))
     else:
-        pads = [(p[0], p[1]), (p[2], p[3])]
-    if op.attr("ceil_mode", False):
+        p = list(op.attr("paddings", [0, 0]))
+        if len(p) == 2:
+            pads = [(p[0], p[0]), (p[1], p[1])]
+        else:
+            pads = [(p[0], p[1]), (p[2], p[3])]
+    if op.attr("ceil_mode", False) and algo not in ("SAME", "VALID"):
         new_pads = []
-        for i, (dim, k, s, (lo, hi)) in enumerate(
-            zip(x.shape[2:], ksize, strides, pads)
-        ):
+        for dim, k, s, (lo, hi) in zip(x.shape[2:], ksize, strides, pads):
             out_ceil = -(-(dim + lo + hi - k) // s) + 1
             needed = (out_ceil - 1) * s + k - (dim + lo)
             new_pads.append((lo, max(hi, needed)))
@@ -160,6 +174,11 @@ def _broadcast_y(x, y, axis: int):
 
 
 def _op_slice(op: OpDesc, x):
+    for key in ("StartsTensor", "EndsTensor", "StartsTensorList", "EndsTensorList"):
+        if op.input(key):
+            # attrs carry stale placeholders when bounds come from input
+            # tensors — slicing with them is silently wrong (review r3)
+            raise NotImplementedError(f"slice with {key} input not supported")
     axes = op.attr("axes", [])
     starts = op.attr("starts", [])
     ends = op.attr("ends", [])
@@ -194,7 +213,7 @@ def build_forward(program: ProgramDesc, trace_hook: Callable = None) -> Callable
     ``trace_hook(op, in_shapes, out_shape)`` is called per op during
     tracing — used by the architecture summarizer, not the hot path.
     """
-    ops = [op for op in program.main_block.ops]
+    ops = list(program.main_block.ops)
 
     def forward(params: Dict[str, jnp.ndarray], feeds: Dict[str, jnp.ndarray]):
         env: Dict[str, object] = {}
@@ -292,19 +311,48 @@ def build_forward(program: ProgramDesc, trace_hook: Callable = None) -> Callable
                 env[op.output("Out")[0]] = jnp.matmul(x, y)
             elif t == "nearest_interp_v2":
                 x = get(op.input("X")[0])
-                scale = op.attr("scale", []) or []
+                if op.attr("align_corners", False):
+                    raise NotImplementedError(
+                        "nearest_interp_v2 align_corners=True not supported"
+                    )
+                if op.input("OutSize") or op.input("SizeTensor"):
+                    raise NotImplementedError(
+                        "nearest_interp_v2 tensor-supplied output size "
+                        "not supported"
+                    )
+                scale = list(op.attr("scale", []) or [])
+                if len(scale) == 1:  # one factor applies to both axes
+                    scale = scale * 2
                 oh, ow = op.attr("out_h", -1), op.attr("out_w", -1)
                 n, c, h, w = x.shape
-                if len(scale) == 2 and float(scale[0]).is_integer() and float(scale[1]).is_integer():
+                if oh > 0:
+                    th = oh
+                elif scale:
+                    th = int(h * scale[0])
+                else:
+                    raise NotImplementedError(
+                        "nearest_interp_v2 without scale or out_h"
+                    )
+                if ow > 0:
+                    tw = ow
+                elif scale:
+                    tw = int(w * scale[1])
+                else:
+                    raise NotImplementedError(
+                        "nearest_interp_v2 without scale or out_w"
+                    )
+                if th % h == 0 and tw % w == 0:
+                    # integer upsample: repeat == Paddle's floor mapping
                     env[op.output("Out")[0]] = jnp.repeat(
-                        jnp.repeat(x, int(scale[0]), axis=2), int(scale[1]), axis=3
+                        jnp.repeat(x, th // h, axis=2), tw // w, axis=3
                     )
                 else:
-                    th = oh if oh > 0 else int(h * scale[0])
-                    tw = ow if ow > 0 else int(w * scale[1])
-                    env[op.output("Out")[0]] = jax.image.resize(
-                        x, (n, c, th, tw), method="nearest"
-                    )
+                    # Paddle nearest (align_corners=False): src index =
+                    # floor(dst * in/out) — jax.image.resize's pixel-center
+                    # nearest picks DIFFERENT pixels (parity, review r3)
+                    rows = np.floor(np.arange(th) * (h / th)).astype(np.int32)
+                    cols = np.floor(np.arange(tw) * (w / tw)).astype(np.int32)
+                    env[op.output("Out")[0]] = x[:, :, rows][:, :, :, cols]
             elif t == "concat":
                 xs = [get(n) for n in op.input("X")]
                 ax = op.attr("axis", 0)
@@ -404,7 +452,11 @@ def init_random_params(program: ProgramDesc, seed: int = 0) -> Dict[str, np.ndar
         if var.tensor.dtype_name not in ("float32", "float64", "float16"):
             out[name] = np.zeros(dims, dtype=var.tensor.dtype_name)
             continue
-        fan_in = int(np.prod(dims[1:])) if len(dims) > 1 else max(dims[0], 1)
+        fan_in = (
+            int(np.prod(dims[1:]))
+            if len(dims) > 1
+            else (max(dims[0], 1) if dims else 1)  # 0-d persistable tensor
+        )
         std = (2.0 / max(fan_in, 1)) ** 0.5
         if ("batch_norm" in lname or "bn" in lname.split(".")[0]) and ".w_2" in name:
             # BN variance slot — keep strictly positive

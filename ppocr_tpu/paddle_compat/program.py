@@ -84,6 +84,11 @@ class VarDesc:
     persistable: bool = False
 
 
+# sentinel for attr types the decoder does not handle (VAR/VARS/SCALAR(S));
+# OpDesc.attr raises on access so they cannot masquerade as defaults
+UNSUPPORTED_ATTR = object()
+
+
 @dataclass
 class OpDesc:
     type: str = ""
@@ -98,7 +103,16 @@ class OpDesc:
         return self.outputs.get(key, [])
 
     def attr(self, key: str, default=None):
-        return self.attrs.get(key, default)
+        val = self.attrs.get(key, default)
+        if val is UNSUPPORTED_ATTR:
+            # fail loudly: an attr of an un-decoded type (VAR/SCALAR/…)
+            # must not silently become the caller's default — that flips
+            # op semantics with no error (review r3)
+            raise NotImplementedError(
+                f"op '{self.type}' attr '{key}' uses an attr type this "
+                "decoder does not support (VAR/VARS/SCALAR(S))"
+            )
+        return val
 
 
 @dataclass
@@ -133,10 +147,16 @@ class ProgramDesc:
         ]
 
     def feed_names(self) -> List[str]:
-        return [op.output("Out")[0] for op in self.main_block.ops if op.type == "feed"]
+        """Feed targets ordered by the ops' 'col' attr — the authoritative
+        slot index (file order usually agrees, but is not the contract)."""
+        feeds = [op for op in self.main_block.ops if op.type == "feed"]
+        feeds.sort(key=lambda op: int(op.attr("col", 0)))
+        return [op.output("Out")[0] for op in feeds]
 
     def fetch_names(self) -> List[str]:
-        return [op.input("X")[0] for op in self.main_block.ops if op.type == "fetch"]
+        fetches = [op for op in self.main_block.ops if op.type == "fetch"]
+        fetches.sort(key=lambda op: int(op.attr("col", 0)))
+        return [op.input("X")[0] for op in fetches]
 
 
 def _parse_tensor_desc(buf: bytes) -> TensorDesc:
@@ -267,8 +287,9 @@ def _parse_attr(buf: bytes) -> (str, object):
         return name, longs
     if atype == AT_FLOAT64S:
         return name, f64s
-    # VAR/VARS/SCALAR(S) unused by PP-OCR graphs; keep raw
-    return name, None
+    # VAR/VARS/SCALAR(S) unused by PP-OCR graphs; marked so OpDesc.attr
+    # raises on access instead of shadowing the caller's default
+    return name, UNSUPPORTED_ATTR
 
 
 def _parse_op(buf: bytes) -> OpDesc:

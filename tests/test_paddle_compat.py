@@ -108,3 +108,118 @@ def test_det_output_tracks_input_resolution(reference_models):
     fwd = jax.jit(build_forward(prog))
     out = fwd(params, {"x": jnp.zeros((1, 3, 256, 416), jnp.float32)})
     assert out["sigmoid_0.tmp_0"].shape == (1, 1, 256, 416)
+
+
+class TestDecoderStrictness:
+    """Round-3 review: latent graph-variant holes fail loudly or exactly,
+    never silently wrong."""
+
+    def _op(self, type_, attrs=None, inputs=None, outputs=None):
+        from ppocr_tpu.paddle_compat.program import OpDesc
+
+        op = OpDesc()
+        op.type = type_
+        op.attrs = attrs or {}
+        op.inputs = inputs or {}
+        op.outputs = outputs or {}
+        return op
+
+    def test_unsupported_attr_raises_instead_of_shadowing_default(self):
+        from ppocr_tpu.paddle_compat.program import UNSUPPORTED_ATTR
+
+        op = self._op("fill_constant", attrs={"value": UNSUPPORTED_ATTR})
+        with pytest.raises(NotImplementedError, match="attr 'value'"):
+            op.attr("value", 0.0)
+        # untouched attrs still honor defaults
+        assert op.attr("shape", [1]) == [1]
+
+    def test_slice_with_tensor_bounds_rejected(self):
+        from ppocr_tpu.paddle_compat.executor import _op_slice
+
+        op = self._op(
+            "slice",
+            attrs={"axes": [0], "starts": [-1], "ends": [-1]},
+            inputs={"Input": ["x"], "StartsTensor": ["s"]},
+        )
+        with pytest.raises(NotImplementedError, match="StartsTensor"):
+            _op_slice(op, np.zeros((4, 4)))
+
+    def test_dilated_conv_transpose_rejected(self):
+        from ppocr_tpu.paddle_compat.executor import _op_conv2d_transpose
+
+        op = self._op(
+            "conv2d_transpose",
+            attrs={"strides": [2, 2], "dilations": [2, 2]},
+        )
+        with pytest.raises(NotImplementedError, match="dilated"):
+            _op_conv2d_transpose(
+                op, jnp.zeros((1, 2, 4, 4)), jnp.zeros((2, 2, 3, 3))
+            )
+
+    def test_pool2d_same_padding_and_default_stride(self):
+        from ppocr_tpu.paddle_compat.executor import _op_pool2d
+
+        x = jnp.arange(25, dtype=jnp.float32).reshape(1, 1, 5, 5)
+        # SAME with stride 2: out = ceil(5/2) = 3 per axis
+        op = self._op(
+            "pool2d",
+            attrs={
+                "pooling_type": "max",
+                "ksize": [3, 3],
+                "strides": [2, 2],
+                "padding_algorithm": "SAME",
+                "paddings": [9, 9],  # must be overridden by SAME
+            },
+        )
+        assert _op_pool2d(op, x).shape == (1, 1, 3, 3)
+        # omitted strides default to [1,1] (the op proto default), not ksize
+        op2 = self._op(
+            "pool2d", attrs={"pooling_type": "max", "ksize": [3, 3]}
+        )
+        assert _op_pool2d(op2, x).shape == (1, 1, 3, 3)  # (5-3)/1+1
+
+    def test_nearest_interp_matches_paddle_floor_mapping(self):
+        """Paddle nearest (align_corners=False) maps dst i -> floor(i*in/out):
+        3 -> 5 picks source cols [0,0,1,1,2]; jax.image.resize picked
+        [0,0,1,2,2]."""
+        from ppocr_tpu.paddle_compat.executor import build_forward
+        from ppocr_tpu.paddle_compat.program import (
+            BlockDesc,
+            OpDesc,
+            ProgramDesc,
+        )
+
+        prog = ProgramDesc()
+        blk = BlockDesc()
+        feed = OpDesc(); feed.type = "feed"
+        feed.outputs = {"Out": ["x"]}; feed.attrs = {"col": 0}
+        interp = OpDesc(); interp.type = "nearest_interp_v2"
+        interp.inputs = {"X": ["x"]}
+        interp.outputs = {"Out": ["y"]}
+        interp.attrs = {"scale": [], "out_h": 5, "out_w": 5}
+        fetch = OpDesc(); fetch.type = "fetch"
+        fetch.inputs = {"X": ["y"]}; fetch.attrs = {"col": 0}
+        blk.ops = [feed, interp, fetch]
+        prog.blocks = [blk]
+        fwd = build_forward(prog)
+        x = np.arange(3, dtype=np.float32).reshape(1, 1, 1, 3)
+        x = np.broadcast_to(x, (1, 1, 3, 3)).copy()
+        out = np.asarray(list(fwd({}, {"x": x}).values())[0])
+        np.testing.assert_array_equal(out[0, 0, 0], [0, 0, 1, 1, 2])
+
+    def test_feed_fetch_order_follows_col_attr(self):
+        from ppocr_tpu.paddle_compat.program import (
+            BlockDesc,
+            OpDesc,
+            ProgramDesc,
+        )
+
+        prog = ProgramDesc()
+        blk = BlockDesc()
+        f1 = OpDesc(); f1.type = "feed"
+        f1.outputs = {"Out": ["b"]}; f1.attrs = {"col": 1}
+        f0 = OpDesc(); f0.type = "feed"
+        f0.outputs = {"Out": ["a"]}; f0.attrs = {"col": 0}
+        blk.ops = [f1, f0]  # serialized out of col order
+        prog.blocks = [blk]
+        assert prog.feed_names() == ["a", "b"]
