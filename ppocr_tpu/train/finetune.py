@@ -33,7 +33,10 @@ def read_label_file(path: str) -> List[Tuple[str, str]]:
     out = []
     with open(path, encoding="utf-8") as f:
         for line in f:
-            line = line.rstrip("\n")
+            # strip \r too: a CRLF-authored file would otherwise leave a
+            # trailing \r on every text — OOV-skipping every sample under
+            # a fixed charset, or training a spurious \r class without one
+            line = line.rstrip("\r\n")
             if not line:
                 continue
             img, _, text = line.partition("\t")
@@ -116,15 +119,23 @@ class FinetuneDataset:
         self.texts: List[str] = []
         skipped = 0
         for rel, text in entries:
+            # cheap skip checks BEFORE image decode: a to-be-skipped
+            # sample must not abort the load on its missing image, and
+            # "#" is the blank class at index 0 — a label containing it
+            # would silently encode as CTC blank, so it is OOV unless the
+            # charset file itself defines a '#' line (then it sits at a
+            # non-zero index too and the earliest match below wins)
+            oov = any(
+                c not in self.char_to_idx or self.char_to_idx[c] == 0
+                for c in text
+            )
+            if oov or len(text) > self.max_len:
+                skipped += 1  # OOV chars / blank literal / over-long label
+                continue
             p = rel if os.path.isabs(rel) else os.path.join(root, rel)
             img = cv2.imread(p)
             if img is None:
                 raise FileNotFoundError(f"cannot read crop {p}")
-            if any(c not in self.char_to_idx for c in text) or (
-                len(text) > self.max_len
-            ):
-                skipped += 1  # OOV chars / over-long label
-                continue
             self.images.append(
                 crnn_resize(img, img_w / img_h, (3, img_h, img_w))
             )
@@ -153,14 +164,21 @@ class FinetuneDataset:
 
 
 def _rotate_checkpoints(ckpt_dir: str, keep: int) -> None:
-    steps = sorted(
-        (
-            int(d.split("_")[1])
-            for d in os.listdir(ckpt_dir)
-            if d.startswith("step_")
-        ),
-    )
-    for s in steps[:-keep]:
+    steps = []
+    for d in os.listdir(ckpt_dir):
+        if not d.startswith("step_"):
+            continue
+        suffix = d.split("_", 1)[1]
+        if suffix.isdigit():
+            steps.append(int(suffix))
+        else:
+            # orbax async-save temp dirs (step_N.orbax-checkpoint-tmp-*)
+            # left by a killed run: clean them up instead of crashing
+            # every later rotation on int() (review r3)
+            shutil.rmtree(os.path.join(ckpt_dir, d), ignore_errors=True)
+    steps.sort()
+    drop = steps if keep <= 0 else steps[:-keep]
+    for s in drop:
         shutil.rmtree(os.path.join(ckpt_dir, f"step_{s}"))
 
 
@@ -197,6 +215,20 @@ def finetune_rec(
     )
     from .trainer import make_train_step
 
+    # the recognizer's hard shape constraints (rec_neck_head_logits pools
+    # to feature height ≤3 and halves the width axis): fail fast with an
+    # actionable message instead of a mid-trace assert (review r3)
+    if img_h > 48:
+        raise ValueError(
+            f"img_h={img_h}: the recognizer supports heights ≤ 48 "
+            "(feature height after the /16 backbone stride must be ≤ 3)"
+        )
+    if img_w % 8 != 0:
+        raise ValueError(
+            f"img_w={img_w}: must be a multiple of 8 (the neck halves the "
+            "/4-strided width axis)"
+        )
+
     if charset_file:
         classes = load_charset(charset_file)
         chars = classes[1:-1]
@@ -215,6 +247,15 @@ def finetune_rec(
     if chars is None:
         chars = ds.classes[1:-1]
     n_classes = len(ds.classes)
+    if ds.skipped:
+        # silent data loss misleads: a restrictive charset can drop most
+        # of the corpus with training still "succeeding" (review r3)
+        print(
+            f"finetune: skipped {ds.skipped} of "
+            f"{ds.skipped + len(ds)} samples (OOV/over-long labels); "
+            f"training on {len(ds)}",
+            flush=True,
+        )
 
     params = (
         load_params_npz(init_weights)

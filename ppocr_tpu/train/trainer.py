@@ -1,9 +1,12 @@
 """CTC training step for the recognizer, sharded over a device mesh.
 
 Data parallel over the "data" axis (batch sharded; XLA all-reduces grads
-over ICI) + tensor parallel over "model" for the 6,625-way CTC projection
-(the recognizer's only weight matrix worth sharding). Loss is optax's CTC
-(log-semiring forward algorithm).
+over ICI) + tensor parallel over "model" for the SVTR mixer blocks'
+attention/MLP matrices. The 6,625-way CTC projection itself stays
+REPLICATED (6,625 is not divisible by practical model-axis widths —
+param_shardings documents the rule), so "model" shards the transformer
+weights, not the head. Loss is optax's CTC (log-semiring forward
+algorithm).
 """
 
 from __future__ import annotations
@@ -26,13 +29,15 @@ class TrainState(NamedTuple):
 
 
 def ctc_train_loss(params, batch):
-    """Mean CTC loss over a batch dict {images, labels, label_paddings}."""
-    logprobs = jax.nn.log_softmax(
-        rec_forward_logits(params, batch["images"]), axis=-1
-    )
-    logit_paddings = jnp.zeros(logprobs.shape[:2], jnp.float32)
+    """Mean CTC loss over a batch dict {images, labels, label_paddings}.
+
+    optax.ctc_loss applies log_softmax internally, so raw logits go in
+    directly (an explicit log_softmax first was numerically identical —
+    idempotent — but a wasted full-vocab pass per step, review r3)."""
+    logits = rec_forward_logits(params, batch["images"])
+    logit_paddings = jnp.zeros(logits.shape[:2], jnp.float32)
     per_seq = optax.ctc_loss(
-        logprobs, logit_paddings, batch["labels"], batch["label_paddings"]
+        logits, logit_paddings, batch["labels"], batch["label_paddings"]
     )
     return jnp.mean(per_seq)
 

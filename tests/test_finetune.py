@@ -206,3 +206,73 @@ class TestFinetuneLoop:
         # deterministically; exact content is not the point here
         texts2, confs2, _ = eng.recognize(crops)
         assert texts == texts2 and confs == confs2
+
+
+class TestReviewFixes:
+    """Round-3 review: label hygiene, checkpoint rotation, validation."""
+
+    def test_crlf_label_files_parse_clean(self, tmp_path):
+        p = tmp_path / "crlf.txt"
+        p.write_bytes(b"a.png\tABC\r\nb.png\t12\r\n")
+        entries = read_label_file(str(p))
+        assert entries == [("a.png", "ABC"), ("b.png", "12")]
+
+    def test_hash_label_is_oov_not_blank(self, crop_dir):
+        """'#' is the blank class at index 0; a label containing it must be
+        skipped as OOV, not silently encoded as CTC blank."""
+        import cv2
+
+        from ppocr_tpu.train.synthetic import render_line
+
+        root, _ = crop_dir
+        img = render_line("1", 48, 96, np.random.default_rng(0))
+        cv2.imwrite(str(root / "hash.png"), img)
+        label = root / "hash_gt.txt"
+        label.write_text("hash.png\t#1\ncrop_0.png\tAB1\n")
+        ds = FinetuneDataset(
+            str(label),
+            classes=charset_classes(["1", "A", "B"]),
+            img_h=48,
+            img_w=96,
+        )
+        assert ds.skipped == 1
+        assert ds.texts == ["AB1"]
+
+    def test_skipped_sample_missing_image_does_not_abort(self, crop_dir):
+        """OOV/over-long samples skip BEFORE image decode, so a missing
+        image on a to-be-skipped line must not abort the load."""
+        root, _ = crop_dir
+        label = root / "missing_gt.txt"
+        label.write_text("gone.png\tZZZ\ncrop_0.png\tAB1\n")
+        ds = FinetuneDataset(
+            str(label),
+            classes=charset_classes(["1", "A", "B"]),
+            img_h=48,
+            img_w=96,
+        )
+        assert ds.skipped == 1 and len(ds) == 1
+
+    def test_rotate_cleans_orbax_temp_dirs(self, tmp_path):
+        from ppocr_tpu.train.finetune import _rotate_checkpoints
+
+        ck = tmp_path / "ckpts"
+        ck.mkdir()
+        for d in ("step_1", "step_2", "step_3",
+                  "step_4.orbax-checkpoint-tmp-99"):
+            (ck / d).mkdir()
+        _rotate_checkpoints(str(ck), keep=2)
+        assert sorted(p.name for p in ck.iterdir()) == ["step_2", "step_3"]
+        # keep=0 keeps none (used to silently keep everything)
+        _rotate_checkpoints(str(ck), keep=0)
+        assert list(ck.iterdir()) == []
+
+    def test_shape_constraints_fail_fast(self, crop_dir, tmp_path):
+        from ppocr_tpu.train.finetune import finetune_rec
+
+        root, _ = crop_dir
+        with pytest.raises(ValueError, match="img_h=64"):
+            finetune_rec(str(root / "rec_gt.txt"), str(tmp_path / "o1"),
+                         steps=1, img_h=64, img_w=96)
+        with pytest.raises(ValueError, match="img_w=100"):
+            finetune_rec(str(root / "rec_gt.txt"), str(tmp_path / "o2"),
+                         steps=1, img_h=48, img_w=100)
