@@ -38,19 +38,18 @@ static const int DX[8] = {-1, -1, 0, 1, 1, 1, 0, -1};
 static const int DY[8] = {0, -1, -1, -1, 0, 1, 1, 1};
 
 void follow_border(const uint8_t* bmp, int w, int h, int sx, int sy,
-                   std::vector<int32_t>& visited, int label, Contour& out) {
-  // Moore boundary tracing with backtracking; start pixel is the first
-  // (top-left in scan order) pixel of the blob, entered from the west.
+                   int backtrack, Contour& out) {
+  // Moore boundary tracing with backtracking (Jacob stopping criterion).
+  // ``backtrack`` points at the known-outside neighbor of the start pixel:
+  // 0 (W) for outer borders entered from the west raster scan, 6 (S) for
+  // hole borders entered from the foreground pixel above the hole.
   int cx = sx, cy = sy;
-  int backtrack = 0;  // direction index pointing to the previous (outside) px
   out.xs.push_back(cx);
   out.ys.push_back(cy);
-  visited[cy * w + cx] = label;
 
   int startx = cx, starty = cy, startdir = -1;
   for (int step = 0; step < w * h * 4; ++step) {
     bool found = false;
-    int dir = (backtrack + 1) % 8;
     for (int i = 0; i < 8; ++i) {
       int d = (backtrack + 1 + i) % 8;
       int nx = cx + DX[d], ny = cy + DY[d];
@@ -60,7 +59,6 @@ void follow_border(const uint8_t* bmp, int w, int h, int sx, int sy,
         else if (cx == startx && cy == starty && d == startdir) return;
         cx = nx;
         cy = ny;
-        visited[cy * w + cx] = label;
         out.xs.push_back(cx);
         out.ys.push_back(cy);
         // new backtrack: direction from new pixel back toward the pixel we
@@ -69,7 +67,6 @@ void follow_border(const uint8_t* bmp, int w, int h, int sx, int sy,
         found = true;
         break;
       }
-      dir = d;
     }
     if (!found) return;  // isolated pixel
   }
@@ -78,11 +75,10 @@ void follow_border(const uint8_t* bmp, int w, int h, int sx, int sy,
 void find_contours(const uint8_t* bmp, int w, int h, int max_contours,
                    std::vector<Contour>& contours) {
   // cv::findContours(RETR_LIST) yields BOTH outer blob borders and hole
-  // borders, each a candidate box in the reference (the hole border pixels
-  // are the hole's own boundary here — within a pixel of OpenCV's, which
-  // marks the adjacent foreground ring).
+  // borders; the hole border traced here is the FOREGROUND ring around
+  // the hole (exactly what OpenCV emits — scoring those high-probability
+  // pixels matters for threshold parity).
   std::vector<int32_t> comp(static_cast<size_t>(w) * h, 0);
-  std::vector<int32_t> visited(static_cast<size_t>(w) * h, 0);
   std::vector<int> stack;
   struct Anchored {
     int anchor;
@@ -90,16 +86,16 @@ void find_contours(const uint8_t* bmp, int w, int h, int max_contours,
   };
   std::vector<Anchored> found;
 
-  // foreground components (8-conn): outer borders
+  // foreground components (8-conn): outer borders. Trace ALL components —
+  // the max_contours cap applies AFTER sorting into cv2's bottom-up
+  // emission order below, so both backends keep the same subset.
   int next = 0;
   for (int y = 0; y < h; ++y) {
     for (int x = 0; x < w; ++x) {
       if (!bmp[y * w + x] || comp[y * w + x]) continue;
       ++next;
-      if ((int)found.size() < max_contours) {
-        found.push_back({y * w + x, {}});
-        follow_border(bmp, w, h, x, y, visited, next, found.back().c);
-      }
+      found.push_back({y * w + x, {}});
+      follow_border(bmp, w, h, x, y, /*backtrack=*/0, found.back().c);
       stack.clear();
       stack.push_back(y * w + x);
       comp[y * w + x] = next;
@@ -169,7 +165,9 @@ void find_contours(const uint8_t* bmp, int w, int h, int max_contours,
       int p = y * w + x;
       if (bmp[p] || outside[p] || hole_comp[p]) continue;
       ++next;
-      // fill this hole component (8-conn on bg to be safe)
+      // fill this hole component. 4-conn: with 8-conn FOREGROUND, the
+      // complementary background/hole connectivity is 4-conn — an 8-conn
+      // fill would merge diagonally-touching holes cv2 keeps separate.
       stack.clear();
       stack.push_back(p);
       hole_comp[p] = next;
@@ -177,8 +175,8 @@ void find_contours(const uint8_t* bmp, int w, int h, int max_contours,
         int q = stack.back();
         stack.pop_back();
         int qy = q / w, qx = q % w;
-        for (int d = 0; d < 8; ++d) {
-          int nx = qx + DX[d], ny = qy + DY[d];
+        for (int d = 0; d < 4; ++d) {
+          int nx = qx + DX4[d], ny = qy + DY4[d];
           if (nx >= 0 && nx < w && ny >= 0 && ny < h) {
             int r = ny * w + nx;
             if (!bmp[r] && !outside[r] && !hole_comp[r]) {
@@ -188,47 +186,24 @@ void find_contours(const uint8_t* bmp, int w, int h, int max_contours,
           }
         }
       }
-      if ((int)found.size() >= max_contours || y == 0) continue;
+      if (y == 0) continue;
       int sx = x, sy = y - 1;  // fg pixel above the hole anchor
       if (!bmp[sy * w + sx]) continue;
       found.push_back({p, {}});
-      Contour& c = found.back().c;
-      // Moore trace around the hole: backtrack initially points S (into
-      // the hole), so the neighborhood scan hugs the hole boundary.
-      int cx = sx, cy = sy, backtrack = 6;  // 6 = S
-      c.xs.push_back(cx);
-      c.ys.push_back(cy);
-      int startx = cx, starty = cy, startdir = -1;
-      for (int step = 0; step < w * h * 4; ++step) {
-        bool moved = false;
-        for (int i = 0; i < 8; ++i) {
-          int d = (backtrack + 1 + i) % 8;
-          int nx = cx + DX[d], ny = cy + DY[d];
-          if (nx >= 0 && nx < w && ny >= 0 && ny < h && bmp[ny * w + nx]) {
-            if (startdir < 0) startdir = d;
-            else if (cx == startx && cy == starty && d == startdir) {
-              moved = false;
-              break;
-            }
-            cx = nx;
-            cy = ny;
-            c.xs.push_back(cx);
-            c.ys.push_back(cy);
-            backtrack = (d + 4) % 8;
-            moved = true;
-            break;
-          }
-        }
-        if (!moved) break;
-      }
+      // Moore trace the fg ring around the hole: backtrack initially
+      // points S (into the hole), so the scan hugs the hole boundary.
+      follow_border(bmp, w, h, sx, sy, /*backtrack=*/6, found.back().c);
     }
   }
 
-  // cv2 emits borders in raster encounter order of their start pixel
+  // cv2.findContours emits borders in REVERSE raster order of their start
+  // pixel (bottom-up); sorting before the cap means both backends keep
+  // the same first-max_contours subset.
   std::sort(found.begin(), found.end(),
             [](const Anchored& a, const Anchored& b) {
-              return a.anchor < b.anchor;
+              return a.anchor > b.anchor;
             });
+  if ((int)found.size() > max_contours) found.resize(max_contours);
   for (auto& f : found) contours.push_back(std::move(f.c));
 }
 
@@ -445,15 +420,25 @@ int dbpost_boxes_from_bitmap(const float* pred, const uint8_t* bitmap, int w,
     if (n_out >= max_boxes) break;
     if (c.xs.size() <= 2) continue;
 
+    // Degenerate straight-line blobs: cv::findContours with
+    // CHAIN_APPROX_SIMPLE compresses EXACTLY horizontal/vertical/45°
+    // 1-px lines to ≤2 points and the reference drops those
+    // (postprocess_op.cpp:277). Other thin diagonals (e.g. slope-1/2
+    // staircases) keep their corner points in cv2 and survive — a plain
+    // "min rect dim < 1" rule over-rejected them.
+    bool h_line = true, v_line = true, d1_line = true, d2_line = true;
+    for (size_t i = 1; i < c.xs.size(); ++i) {
+      if (c.ys[i] != c.ys[0]) h_line = false;
+      if (c.xs[i] != c.xs[0]) v_line = false;
+      if (c.xs[i] - c.ys[i] != c.xs[0] - c.ys[0]) d1_line = false;
+      if (c.xs[i] + c.ys[i] != c.xs[0] + c.ys[0]) d2_line = false;
+    }
+    if (h_line || v_line || d1_line || d2_line) continue;
+
     std::vector<Pt> pts(c.xs.size());
     for (size_t i = 0; i < c.xs.size(); ++i)
       pts[i] = {(float)c.xs[i], (float)c.ys[i]};
     RotRect rect = min_area_rect(pts);
-    // Degenerate straight-line blobs: cv::findContours with
-    // CHAIN_APPROX_SIMPLE compresses them to ≤2 points and the reference
-    // drops those (postprocess_op.cpp:277) regardless of length — match
-    // that by rejecting collinear blobs (min rect dimension < 1 px).
-    if (std::min(rect.w, rect.h) < 1.0f) continue;
     // cv::minAreaRect over integer pixel coords treats each point as a
     // lattice point; ssid check uses max(w, h) like the reference
     float ssid = std::max(rect.w, rect.h);
@@ -465,8 +450,7 @@ int dbpost_boxes_from_bitmap(const float* pred, const uint8_t* bitmap, int w,
 
     float score;
     if (use_slow_score) {
-      std::vector<Pt> poly(pts);
-      score = polygon_mean(pred, w, h, poly.data(), (int)poly.size());
+      score = polygon_mean(pred, w, h, pts.data(), (int)pts.size());
     } else {
       score = polygon_mean(pred, w, h, box, 4);
     }
@@ -485,7 +469,21 @@ int dbpost_boxes_from_bitmap(const float* pred, const uint8_t* bitmap, int w,
     if (perim <= 0) continue;
     float dist = area * unclip_ratio / perim;
 
-    RotRect expanded = rect;
+    // ClipperLib::Path construction int-TRUNCATES the quad corners before
+    // offsetting (postprocess_op.cpp:48-51; ops/db_postprocess.unclip_rect
+    // mirrors it with np.trunc + minAreaRect) — expanding the float rect
+    // directly shifted corners up to 2 px vs the cv2 backend
+    std::vector<Pt> tq(4);
+    float tarea = 0;
+    for (int i = 0; i < 4; ++i)
+      tq[i] = {std::trunc(box[i].x), std::trunc(box[i].y)};
+    for (int i = 0; i < 4; ++i) {
+      const Pt& a = tq[i];
+      const Pt& b = tq[(i + 1) % 4];
+      tarea += a.x * b.y - a.y * b.x;
+    }
+    if (std::fabs(tarea / 2.0f) <= 0) continue;  // Clipper empty-solution
+    RotRect expanded = min_area_rect(tq);
     expanded.w += 2 * dist;
     expanded.h += 2 * dist;
     if (expanded.w < 1.001f && expanded.h < 1.001f) continue;

@@ -75,6 +75,14 @@ def boxes_from_bitmap_native(
         raise RuntimeError("libdbpost.so not built (run: make -C native)")
     pred = np.ascontiguousarray(pred, np.float32)
     bmp = np.ascontiguousarray((bitmap > 0).astype(np.uint8))
+    if bmp.shape != pred.shape:
+        # the C core indexes the bitmap with pred's dims: a smaller bitmap
+        # would be read out of bounds (the cv2 baseline supports differing
+        # shapes; this backend deliberately does not)
+        raise ValueError(
+            f"bitmap shape {bmp.shape} != pred shape {pred.shape} "
+            "(the native backend requires same-resolution maps)"
+        )
     h, w = pred.shape
     max_boxes = max_candidates
     out_boxes = np.zeros((max_boxes, 4, 2), np.int32)
@@ -92,12 +100,12 @@ def boxes_from_bitmap_native(
         out_scores.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         max_boxes,
     )
-    # cv2.findContours emits contours bottom-up; our scan is top-down —
-    # reverse so box order (and therefore word order in responses) matches
-    # the cv2/reference pipeline exactly.
+    # the C core already emits contours in cv2's bottom-up order (and
+    # applies max_candidates to that order, so both backends keep the
+    # same subset when the cap bites)
     return (
-        [out_boxes[i].astype(np.int64) for i in range(n - 1, -1, -1)],
-        out_scores[:n][::-1].tolist(),
+        [out_boxes[i].astype(np.int64) for i in range(n)],
+        out_scores[:n].tolist(),
     )
 
 
