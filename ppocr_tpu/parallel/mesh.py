@@ -31,7 +31,13 @@ def make_mesh(
         if n % model != 0:
             raise ValueError(f"{n} devices not divisible by model={model}")
         data = n // model
-    grid = np.array(devs).reshape(data, model)
+    elif data * model > n:
+        raise ValueError(
+            f"data={data} × model={model} needs {data * model} devices, "
+            f"have {n}"
+        )
+    # an explicit smaller data axis uses the first data*model devices
+    grid = np.array(devs[: data * model]).reshape(data, model)
     return Mesh(grid, axis_names=("data", "model"))
 
 

@@ -33,40 +33,37 @@ class CrossChipFusedOCR:
     pair, sharing an OCREngine's params/config/postprocessing."""
 
     def __init__(self, engine, det_device, rec_device, max_boxes: Optional[int] = None):
-        from ..pipeline.fused import FusedOCR, build_fused_parts
+        from ..pipeline.fused import (
+            FusedOCR,
+            build_fused_parts,
+            fused_part_kwargs,
+        )
 
         cfg = engine.config
         self.engine = engine
         self.det_device = det_device
         self.rec_device = rec_device
         self.max_boxes = max_boxes or cfg.fused_max_boxes
-        self.rec_img_h = cfg.rec.img_h
-        from ..pipeline.fused import width_mult
-
-        mult = width_mult(cfg)
-        self.rec_img_w = mult * cfg.rec.img_w
-        self.with_cls = bool(cfg.enable_cls and engine.cls_params is not None)
-        self.decode = cfg.rec.decode
+        # shared config plumbing with the single-chip FusedOCR — ONE
+        # source of build kwargs so the paths cannot drift (review r3:
+        # the hand-copied version silently dropped use_dilation)
+        kw = fused_part_kwargs(engine, self.max_boxes)
+        self.rec_img_h = kw["rec_img_h"]
+        self.rec_img_w = kw["rec_img_w"]
+        self.with_cls = kw["cls_shape"] is not None
+        self.decode = kw["decode"]
         self.beam_size = cfg.rec.beam_size
-        self.rotated = bool(getattr(cfg, "fused_rotated_boxes", False))
+        self.rotated = kw["rotated"]
         prep, rec = build_fused_parts(
-            cfg.det.thresh,
-            cfg.det.box_thresh,
-            cfg.det.unclip_ratio,
-            self.rec_img_h,
-            self.rec_img_w,
-            self.max_boxes,
-            dtype=engine.dtype,
-            cls_shape=(cfg.cls.image_shape[1], cfg.cls.image_shape[2])
-            if self.with_cls
-            else None,
-            decode=cfg.rec.decode,
-            beam_candidates=cfg.rec.beam_candidates,
-            rotated=self.rotated,
             # stages run single-device (committed inputs), so the pallas
-            # kernel is safe whenever the platform is a TPU
+            # paths are safe whenever the stage's platform is a TPU
             use_pallas=rec_device.platform in ("tpu", "axon"),
-            n_width_tiers=mult.bit_length(),
+            blob_kernel=bool(
+                getattr(cfg, "fused_blob_kernel", False)
+                and det_device.platform in ("tpu", "axon")
+                and not kw["rotated"]
+            ),
+            **kw,
         )
         self._prep = jax.jit(prep)
         self._rec = jax.jit(rec)
@@ -85,7 +82,8 @@ class CrossChipFusedOCR:
 
     def _dispatch(self, canvas: np.ndarray, content_hw: np.ndarray):
         """Dispatch both stages for one padded [1,H,W,3] canvas; returns
-        lazy (boxes, valid, score, roots, idx, val) device futures."""
+        lazy (boxes, quads, valid, score, roots, idx, val, blank) device
+        futures."""
         img = jax.device_put(canvas, self.det_device)
         chw = jax.device_put(content_hw, self.det_device)
         crops_n, boxes, quads, valid, score, roots, tier = self._prep(
@@ -110,6 +108,12 @@ class CrossChipFusedOCR:
         from ..pipeline.fused import FusedOutputs
 
         cfg = self.engine.config
+        if len(images) != len(request_ids):
+            # zip() below would silently drop dispatched work (the same
+            # truncation class FusedOCR.process_batch guards against)
+            raise ValueError(
+                f"{len(images)} images for {len(request_ids)} request_ids"
+            )
         pending = []
         for image in images:
             t_dispatch = time.perf_counter()

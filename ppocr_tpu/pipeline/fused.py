@@ -632,6 +632,36 @@ def width_mult(cfg) -> int:
     return mult
 
 
+def fused_part_kwargs(engine, max_boxes: int) -> dict:
+    """Config → :func:`build_fused_parts`/``build_fused_step`` kwargs,
+    shared by the single-chip FusedOCR and the cross-chip staged wrapper
+    so the two paths cannot drift (review r3: hand-copied plumbing had
+    already diverged on use_dilation/blob_kernel). Callers set the
+    device-dependent ``use_pallas``/``blob_kernel`` on the result."""
+    cfg = engine.config
+    mult = width_mult(cfg)
+    with_cls = bool(cfg.enable_cls and engine.cls_params is not None)
+    return {
+        "det_thresh": cfg.det.thresh,
+        "box_thresh": cfg.det.box_thresh,
+        "unclip_ratio": cfg.det.unclip_ratio,
+        "rec_img_h": cfg.rec.img_h,
+        "rec_img_w": mult * cfg.rec.img_w,
+        "max_boxes": max_boxes,
+        "dtype": engine.dtype,
+        "cls_shape": (
+            (cfg.cls.image_shape[1], cfg.cls.image_shape[2])
+            if with_cls
+            else None
+        ),
+        "decode": cfg.rec.decode,
+        "beam_candidates": cfg.rec.beam_candidates,
+        "rotated": bool(getattr(cfg, "fused_rotated_boxes", False)),
+        "n_width_tiers": mult.bit_length(),
+        "use_dilation": bool(cfg.det.use_dilation),
+    }
+
+
 class FusedOCR:
     """Single-dispatch serving wrapper sharing an OCREngine's params."""
 
@@ -644,35 +674,21 @@ class FusedOCR:
         # recognizer runs on the narrowest power-of-two slice that holds
         # the batch's widest valid crop (width tiers — no silent squash up
         # to the cap; docs/PARITY.md documents behavior past it)
-        mult = width_mult(cfg)
-        self.rec_img_w = mult * cfg.rec.img_w
-        self.n_width_tiers = mult.bit_length()  # 2^(n-1) = mult
-        self.with_cls = bool(cfg.enable_cls and engine.cls_params is not None)
-        self.decode = cfg.rec.decode
+        kw = fused_part_kwargs(engine, max_boxes)
+        self.rec_img_w = kw["rec_img_w"]
+        self.n_width_tiers = kw["n_width_tiers"]
+        self.with_cls = kw["cls_shape"] is not None
+        self.decode = kw["decode"]
         self.beam_size = cfg.rec.beam_size
-        self.rotated = bool(getattr(cfg, "fused_rotated_boxes", False))
+        self.rotated = kw["rotated"]
         self._step = build_fused_step(
-            cfg.det.thresh,
-            cfg.det.box_thresh,
-            cfg.det.unclip_ratio,
-            self.rec_img_h,
-            self.rec_img_w,
-            max_boxes,
-            dtype=engine.dtype,
-            cls_shape=(cfg.cls.image_shape[1], cfg.cls.image_shape[2])
-            if self.with_cls
-            else None,
-            decode=cfg.rec.decode,
-            beam_candidates=cfg.rec.beam_candidates,
-            rotated=self.rotated,
             use_pallas=engine._pallas_ok(),
-            n_width_tiers=self.n_width_tiers,
             blob_kernel=bool(
                 getattr(cfg, "fused_blob_kernel", False)
                 and engine._pallas_ok()
                 and not self.rotated
             ),
-            use_dilation=bool(cfg.det.use_dilation),
+            **kw,
         )
 
     def _cls_params(self):

@@ -32,6 +32,59 @@ class OCRIPCClient:
     # -- connection --------------------------------------------------------
 
     def connect(self) -> bool:
+        with self._lock:  # racing with disconnect()/other senders
+            if self._sock is not None:
+                return True
+            return self._connect_locked()
+
+    def is_connected(self) -> bool:
+        return self._sock is not None
+
+    def disconnect(self):
+        with self._lock:
+            self._teardown_locked()
+
+    def __enter__(self):
+        if not self.connect():
+            raise ConnectionError(f"cannot connect to {self.socket_path}")
+        return self
+
+    def __exit__(self, *exc):
+        self.disconnect()
+
+    # -- request/response ----------------------------------------------------
+
+    def send_request(self, request: dict) -> dict:
+        """Blocking request/response (ocr_ipc_client.cpp:180-221).
+
+        A dead connection is torn down before the error propagates, so
+        the next call auto-reconnects (the service recycles routinely
+        under --recycle-after; a client that can never reconnect records
+        100% errors for the rest of a soak). A response timeout also
+        tears the connection down: the late reply would otherwise land
+        in the buffer and desync every later request/response pair."""
+        payload = (
+            json.dumps(request, ensure_ascii=False, separators=(",", ":")) + "\n"
+        ).encode("utf-8")
+        with self._lock:
+            if self._sock is None and not self._connect_locked():
+                raise ConnectionError(f"cannot connect to {self.socket_path}")
+            try:
+                self._sock.sendall(payload)
+                line = self._file.readline()
+            except (OSError, socket.timeout) as e:
+                self._teardown_locked()
+                raise ConnectionError(
+                    f"request failed ({e}); connection reset — the next "
+                    "call will reconnect"
+                ) from e
+            if not line:
+                self._teardown_locked()
+                raise ConnectionError("service closed the connection")
+        return json.loads(line.decode("utf-8"))
+
+    def _connect_locked(self) -> bool:
+        """connect() body without re-taking the lock (callers hold it)."""
         deadline = time.monotonic() + self.timeout_ms / 1000.0
         while True:
             try:
@@ -46,47 +99,19 @@ class OCRIPCClient:
                     return False
                 time.sleep(0.05)  # retry-while-busy (ocr_ipc_client.cpp:102-133)
 
-    def is_connected(self) -> bool:
-        return self._sock is not None
-
-    def disconnect(self):
-        with self._lock:
-            if self._file is not None:
-                try:
-                    self._file.close()
-                except OSError:
-                    pass
-                self._file = None
-            if self._sock is not None:
-                try:
-                    self._sock.close()
-                except OSError:
-                    pass
-                self._sock = None
-
-    def __enter__(self):
-        if not self.connect():
-            raise ConnectionError(f"cannot connect to {self.socket_path}")
-        return self
-
-    def __exit__(self, *exc):
-        self.disconnect()
-
-    # -- request/response ----------------------------------------------------
-
-    def send_request(self, request: dict) -> dict:
-        """Blocking request/response (ocr_ipc_client.cpp:180-221)."""
-        if self._sock is None and not self.connect():
-            raise ConnectionError(f"cannot connect to {self.socket_path}")
-        payload = (
-            json.dumps(request, ensure_ascii=False, separators=(",", ":")) + "\n"
-        ).encode("utf-8")
-        with self._lock:
-            self._sock.sendall(payload)
-            line = self._file.readline()
-        if not line:
-            raise ConnectionError("service closed the connection")
-        return json.loads(line.decode("utf-8"))
+    def _teardown_locked(self):
+        if self._file is not None:
+            try:
+                self._file.close()
+            except OSError:
+                pass
+            self._file = None
+        if self._sock is not None:
+            try:
+                self._sock.close()
+            except OSError:
+                pass
+            self._sock = None
 
     # -- commands --------------------------------------------------------------
 
@@ -99,13 +124,19 @@ class OCRIPCClient:
             size = os.path.getsize(abs_path)
         except OSError:
             size = None
-        if size is not None and size < INLINE_FILE_LIMIT:
-            with open(abs_path, "rb") as f:
-                encoded = base64.b64encode(f.read()).decode("ascii")
-            if len(encoded) + 200 < MAX_JSON_BYTES:
-                request["image_data"] = encoded
-            else:
-                request["image_path"] = abs_path
+        encoded = None
+        # reference semantics: inline only when 0 < size < 600 KB AND the
+        # read succeeds; empty or unreadable files fall back to path
+        # transmission (ocr_ipc_client.cpp:148-170 — its empty-base64
+        # check covers both)
+        if size is not None and 0 < size < INLINE_FILE_LIMIT:
+            try:
+                with open(abs_path, "rb") as f:
+                    encoded = base64.b64encode(f.read()).decode("ascii")
+            except OSError:
+                encoded = None
+        if encoded and len(encoded) + 200 < MAX_JSON_BYTES:
+            request["image_data"] = encoded
         else:
             request["image_path"] = abs_path
         return self.send_request(request)

@@ -97,3 +97,19 @@ def test_graft_dryrun_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_make_mesh_explicit_data_subsets_devices():
+    """data= smaller than the device count takes the first data*model
+    devices (review r3: it crashed in numpy reshape); oversubscription is
+    a clear error."""
+    import pytest
+
+    from ppocr_tpu.parallel import make_mesh
+
+    m = make_mesh(data=1, model=1)
+    assert dict(zip(m.axis_names, m.devices.shape)) == {"data": 1, "model": 1}
+    m2 = make_mesh(data=2, model=2)
+    assert m2.devices.size == 4
+    with pytest.raises(ValueError, match="needs 32 devices"):
+        make_mesh(data=16, model=2)

@@ -131,3 +131,37 @@ def test_oversize_image_downscales_to_bucket_cap(engine):
     assert [w["box"] for w in got["words"]] == [
         w["box"] for w in base["words"]
     ]
+
+
+def test_cross_chip_honors_use_dilation(reference_models):
+    """use_dilation must flow into the cross-chip graph like every other
+    path (review r3: the hand-copied build call silently dropped it) —
+    equality vs the single-chip fused step WITH dilation enabled."""
+    import jax
+
+    cfg = small_config(enable_cls=False, fast_path=True, fused_max_boxes=8)
+    cfg.det.shape_buckets = (96,)
+    cfg.det.use_dilation = True
+    eng = OCREngine(str(reference_models), cfg)
+    devs = jax.devices()
+    staged = CrossChipFusedOCR(eng, devs[0], devs[1])
+    fused = eng.fused_ocr()
+    imgs = [_text_img(i) for i in range(2)]
+    base = [fused.process(im, i) for i, im in enumerate(imgs)]
+    got = staged.process_stream(imgs, [0, 1])
+    for rb, rg in zip(base, got):
+        assert [w["text"] for w in rb["words"]] == [
+            w["text"] for w in rg["words"]
+        ]
+        assert [w["box"] for w in rb["words"]] == [
+            w["box"] for w in rg["words"]
+        ]
+
+
+def test_process_stream_rejects_length_mismatch(engine):
+    import jax
+
+    devs = jax.devices()
+    staged = CrossChipFusedOCR(engine, devs[0], devs[1])
+    with pytest.raises(ValueError, match="request_ids"):
+        staged.process_stream([_text_img(0)], [1, 2])

@@ -263,3 +263,55 @@ def test_two_requests_one_connection(service, card_image_path):
             assert resp["success"] is True
     finally:
         s.close()
+
+
+class TestClientResilience:
+    """Round-3 review: reconnect-after-recycle, timeout desync, empty-file
+    transport fallback."""
+
+    def test_client_reconnects_after_connection_loss(self, service):
+        c = OCRIPCClient(SOCKET, timeout_ms=60000)
+        assert c.connect()
+        r1 = c.get_service_status()
+        assert r1["success"] is True
+        # simulate the server side closing (recycle): kill our socket
+        c._sock.shutdown(socket.SHUT_RDWR)
+        with pytest.raises(ConnectionError):
+            c.get_service_status()
+        # the dead connection was torn down — the next call reconnects
+        r2 = c.get_service_status()
+        assert r2["success"] is True
+        c.disconnect()
+
+    def test_empty_file_falls_back_to_path(self, tmp_path):
+        """The reference requires file_size > 0 to inline
+        (ocr_ipc_client.cpp:148-150); empty files ship as image_path."""
+        p = tmp_path / "empty.png"
+        p.write_bytes(b"")
+        c = OCRIPCClient("/tmp/nonexistent-client-test.sock", timeout_ms=1)
+        sent = {}
+        c.send_request = lambda req: sent.update(req) or {"success": False}
+        c.recognize_image(str(p))
+        assert "image_path" in sent and "image_data" not in sent
+
+    def test_vanished_file_falls_back_to_path(self, tmp_path, monkeypatch):
+        """A file that stats OK but fails to open (deleted in between)
+        ships as image_path like the reference's empty-base64 fallback
+        (ocr_ipc_client.cpp:166-169), instead of raising OSError."""
+        import builtins
+
+        p = tmp_path / "gone.png"
+        p.write_bytes(b"x" * 100)
+        real_open = builtins.open
+
+        def flaky_open(path, *a, **k):
+            if str(path) == str(p):
+                raise OSError("deleted between stat and open")
+            return real_open(path, *a, **k)
+
+        monkeypatch.setattr(builtins, "open", flaky_open)
+        c = OCRIPCClient("/tmp/nonexistent-client-test.sock", timeout_ms=1)
+        sent = {}
+        c.send_request = lambda req: sent.update(req) or {"success": False}
+        c.recognize_image(str(p))
+        assert "image_path" in sent and "image_data" not in sent
