@@ -2,10 +2,12 @@
 
 Walks the exported op graph in execution order, consuming parameter-carrying
 ops into a token stream, and binds each token to the corresponding slot in
-the structured NHWC param trees of det_db / cls_mv3 / rec_svtr. Every bind
-checks the expected shape; a drift between the graph and the transcribed
-architecture tables fails loudly here (and is additionally covered by the
-executor-vs-handwritten parity tests in tests/test_models.py).
+the structured NHWC param trees of det_db / cls_mv3 / rec_svtr. Binding is
+validated by token KIND and by full-stream consumption (``assert_done``):
+an op-sequence drift between the graph and the transcribed architecture
+tables fails loudly here. Shape drift with an unchanged op sequence is NOT
+checked at bind time — it is caught by the executor-vs-handwritten parity
+tests (tests/test_models.py), which run both against the same graphs.
 
 Weight layout transforms:
   conv  OIHW → HWIO          depthwise (C,1,k,k) → (k,k,1,C)

@@ -6,7 +6,7 @@ used in the hot path. Every host op has a golden test against values derived
 from the reference C++ semantics (SURVEY.md §7 step 1).
 """
 
-from .resize import cls_resize, crnn_resize, det_fit_cap, det_resize, rec_width_for_ratio
+from .resize import cls_resize, crnn_resize, det_fit_cap, det_resize
 from .normalize import normalize_chw_np, normalize_imagenet_np, pack_batch
 from .ctc import (
     ctc_beam_search,
@@ -52,7 +52,6 @@ __all__ = [
     "normalize_imagenet_np",
     "order_points_clockwise",
     "pack_batch",
-    "rec_width_for_ratio",
     "sort_boxes",
     "unclip_rect",
     "xyxyxyxy2xyxy",

@@ -36,30 +36,16 @@ def det_resize(
 
     resize_h = int(h * ratio)
     resize_w = int(w * ratio)
-    # round-to-nearest /32 with floor of 32 — the det graph downsamples x32
-    resize_h = max(int(round(resize_h / 32) * 32), 32)
-    resize_w = max(int(round(resize_w / 32) * 32), 32)
+    # round-to-nearest /32 with floor of 32 — the det graph downsamples
+    # x32. C round semantics (half away from zero, preprocess_op.cpp's
+    # round): Python's banker's round() would pick a DIFFERENT 32px
+    # bucket at sides ≡ 16 (mod 64), e.g. 80 → 64 instead of the
+    # reference's 96 (review r3)
+    resize_h = max(int(resize_h / 32.0 + 0.5) * 32, 32)
+    resize_w = max(int(resize_w / 32.0 + 0.5) * 32, 32)
 
     resized = cv2.resize(img, (resize_w, resize_h))
     return resized, resize_h / h, resize_w / w
-
-
-def det_resize_shape(
-    h: int, w: int, limit_type: str = "max", limit_side_len: int = 960
-) -> Tuple[int, int]:
-    """Output (H, W) that :func:`det_resize` would produce — used by the
-    serving path to pick/pad static compilation buckets."""
-    ratio = 1.0
-    if limit_type == "min":
-        if min(h, w) < limit_side_len:
-            ratio = limit_side_len / (h if h < w else w)
-    else:
-        if max(h, w) > limit_side_len:
-            ratio = limit_side_len / (h if h > w else w)
-    return (
-        max(int(round(int(h * ratio) / 32) * 32), 32),
-        max(int(round(int(w * ratio) / 32) * 32), 32),
-    )
 
 
 def det_fit_cap(
@@ -68,11 +54,16 @@ def det_fit_cap(
     """Downscale a det-resized image so both sides fit within ``cap`` (the
     largest compiled det shape bucket), preserving /32 alignment.
 
-    The serving bucket set covers ``limit_side_len`` so this never engages
-    there; with a truncated bucket set (``--det-buckets 96`` dev/test
-    configs) the fused paths have no exact-shape fallback (compile sets are
-    closed by design), so an oversize image scales down to the cap instead
-    of failing. Input/output ratios are resized/src (det_resize convention).
+    With ``limit_type='max'`` the serving bucket set covers
+    ``limit_side_len`` so this only engages on truncated bucket sets
+    (``--det-buckets 96`` dev/test configs). With ``limit_type='min'``
+    the resize UPSCALES the long side without bound (a 100×5000 source
+    at min-side 736 becomes ~36,800 px wide), so this cap engages in
+    real serving too and costs small-text detail — prefer limit_type
+    'max', or size the bucket set for the workload's aspect ratios. The
+    fused paths have no exact-shape fallback (compile sets are closed by
+    design), so an oversize image scales down to the cap instead of
+    failing. Input/output ratios are resized/src (det_resize convention).
     """
     rh, rw = img.shape[:2]
     if rh <= cap and rw <= cap:
@@ -82,11 +73,6 @@ def det_fit_cap(
     nw = min(max(int(round(rw * scale / 32) * 32), 32), cap)
     out = cv2.resize(img, (nw, nh))
     return out, ratio_h * nh / rh, ratio_w * nw / rw
-
-
-def rec_width_for_ratio(img_h: int, max_wh_ratio: float) -> int:
-    """Batch width the recognizer pads to for a given max aspect ratio."""
-    return int(img_h * max_wh_ratio)
 
 
 def crnn_resize(

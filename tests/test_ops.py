@@ -332,3 +332,15 @@ class TestReferenceExactSemantics:
         # with BORDER_REPLICATE every pixel would be exactly 200; constant
         # (black) borders blend the corners below it
         assert crop.min() < 200
+
+    def test_det_resize_rounds_half_away_from_zero(self):
+        """C round (preprocess_op.cpp): a side of 80 px snaps to 96
+        (80/32 = 2.5 → 3); Python's banker's round() picked 64."""
+        from ppocr_tpu.ops import det_resize
+
+        img = np.zeros((80, 720, 3), np.uint8)
+        resized, _, _ = det_resize(img, "max", 960)  # ratio stays 1.0
+        assert resized.shape[0] == 96, resized.shape
+        # and 144 → 160 (4.5 → 5), not 128
+        img2 = np.zeros((144, 720, 3), np.uint8)
+        assert det_resize(img2, "max", 960)[0].shape[0] == 160
