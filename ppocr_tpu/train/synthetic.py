@@ -109,10 +109,12 @@ JUMBO_HOMOGLYPHS_FILE = os.path.join(
 
 
 def _tight_render_hash(ch: str, font) -> Optional[bytes]:
-    """Hash of the tight ink bitmap of ``ch`` drawn alone, or None if it
-    draws no ink. Deterministic (fixed origin, no hinting variance across
-    calls), so two codepoints hash equal iff their renders are
-    pixel-identical."""
+    """Hash of the ink bitmap of ``ch`` drawn alone at a fixed origin, or
+    None if it draws no ink. The bitmap is cropped to its ink bbox but the
+    bbox's VERTICAL offset is part of the hash: placement relative to the
+    baseline is visible in a rendered line (an alnum anchor char is forced
+    into every sample), so '-' vs '_' or '.' vs '·' are distinguishable
+    and must NOT hash equal (review r3 — a bbox-only hash merged them)."""
     import hashlib
 
     from PIL import Image, ImageDraw
@@ -126,7 +128,7 @@ def _tight_render_hash(ch: str, font) -> Optional[bytes]:
         return None
     t = a[ys.min() : ys.max() + 1, xs.min() : xs.max() + 1]
     return hashlib.md5(
-        t.tobytes() + str(t.shape).encode("ascii")
+        t.tobytes() + str((t.shape, int(ys.min()))).encode("ascii")
     ).digest()
 
 
@@ -158,28 +160,36 @@ def build_jumbo_alphabet() -> str:
     return "".join(out)
 
 
+@functools.lru_cache(maxsize=None)
 def jumbo_alphabet(keys_file: str = JUMBO_KEYS_FILE) -> str:
     """The pinned jumbo charset body (~5,000 chars; one char per line in
-    the ppocr_keys_v1.txt convention). Falls back to computing it from the
+    the ppocr_keys_v1.txt convention — read with load_charset's line
+    semantics, \\r included, so a CRLF-normalized checkout cannot
+    silently double the class count). Falls back to computing from the
     fonts when the artifact is absent (fresh checkout before
     ``scripts/make_jumbo_charset.py`` has run)."""
     if os.path.exists(keys_file):
         return "".join(
-            line.rstrip("\n")
+            line.rstrip("\r\n")
             for line in open(keys_file, encoding="utf-8")
-            if line.rstrip("\n")
+            if line.rstrip("\r\n")
         )
     return build_jumbo_alphabet()
 
 
 def render_glyph_families(alphabet: str) -> List[str]:
-    """Group ``alphabet`` into families of characters whose *tight renders
-    are pixel-identical in at least one DejaVu face* (math-alphanumeric
-    clones of ASCII, cross-script capitals like A/Α/А/Ꭺ, duplicated
-    symbols). A recognizer cannot distinguish family members of a sample
-    rendered in that face even in principle, so accuracy gates score both
-    raw and family-normalized exactness. Curated *near*-identical pairs
+    """Group ``alphabet`` into families of characters whose renders
+    (ink bitmap + baseline placement) are pixel-identical in at least one
+    DejaVu face (math-alphanumeric clones of ASCII, cross-script capitals
+    like A/Α/А/Ꭺ, duplicated symbols). Curated *near*-identical pairs
     (HOMOGLYPHS: l/I bars, O/0) are merged in on top.
+
+    Honesty note on the normalization semantics: merging is per-face and
+    TRANSITIVE (union-find across all six faces plus the curated pairs),
+    so a family can contain pairs that are identical in no single face —
+    the map is a per-charset upper bound on ambiguity, not a per-sample
+    guarantee. Gates therefore always report RAW exact-match alongside
+    the family-normalized number.
 
     Returns only multi-member families, each as a string of members with
     the representative (lowest codepoint) first."""
@@ -274,6 +284,9 @@ def text_scene_dataset(mode: str, seed: int = 0, **kw) -> "SyntheticSceneDataset
     scripts, the e2e gate tests, and the bench accuracy probe (so they
     cannot drift apart). ``mode``: "ascii" (94 classes), "full"
     (~218 classes), or "jumbo" (~5,000 classes, custom-charset bundle)."""
+    if mode not in ("ascii", "full", "jumbo"):
+        # a typo'd mode silently trained/scored the wrong distribution
+        raise ValueError(f"unknown scene-dataset mode {mode!r}")
     if mode == "jumbo":
         alpha = jumbo_alphabet()
     else:
