@@ -422,13 +422,19 @@ def check_regressions(result: dict, good: dict) -> list:
             )
         good_acc = good.get("extra", {}).get("trained_weights_e2e_exact_match")
         acc = extra.get("trained_weights_e2e_exact_match")
-        same_gate = extra.get("trained_gate") == good.get("extra", {}).get(
-            "trained_gate"
-        )
+        good_gate = good.get("extra", {}).get("trained_gate")
+        same_gate = extra.get("trained_gate") == good_gate
         if good_acc is not None:
             if acc is None:
                 fails.append("trained-weight accuracy gate did not run")
-            elif same_gate and acc < good_acc - 0.02:
+            elif not same_gate:
+                # a silent fallback (e.g. the ascii bundle went missing →
+                # digits) must FAIL, not bypass the accuracy comparison
+                fails.append(
+                    f"accuracy gate changed: {extra.get('trained_gate')} "
+                    f"(good: {good_gate}) — weight bundle missing?"
+                )
+            elif acc < good_acc - 0.02:
                 fails.append(
                     f"trained e2e exact-match {acc} < good {good_acc} - 0.02"
                 )

@@ -102,6 +102,11 @@ class Backend:
                     raise ConnectionError(
                         f"backend {self.socket_path} down: {e}"
                     )
+                except BaseException:
+                    # cancellation mid-connect must release the capacity
+                    # reservation too (review r3)
+                    self._open -= 1
+                    raise
             try:
                 # bounded wait, then re-check capacity: _discard() frees
                 # capacity without waking queue waiters, so an unbounded
@@ -162,7 +167,10 @@ class Backend:
             if not resp.endswith(b"\n"):
                 # EOF mid-line: the channel is desynced — never reuse it
                 raise ConnectionError("backend response truncated")
-        except Exception:
+        except BaseException:
+            # BaseException: a CancelledError parked in readline must
+            # still discard the channel, or the pool slot (_open) leaks
+            # permanently (review r3)
             self._discard(ch)
             raise
         self._release(ch)
@@ -176,7 +184,6 @@ class OCRBalancer:
         self.socket_path = socket_path
         self.backends = backends
         self.running = False
-        self.total_requests = 0
         # lifetime counters (worker-process counters reset on recycle, so
         # the public merged status is accounted here at the balancer)
         self.forwarded = 0
@@ -275,15 +282,23 @@ class OCRBalancer:
         """Reference-shaped counters accounted at the balancer over its
         lifetime (worker counters reset on recycle), plus live per-process
         detail fanned out from each backend."""
-        per = []
-        for i, b in enumerate(self.backends):
+        async def poll(i, b):
             try:
                 r = await b.roundtrip(b'{"command":"status"}\n')
                 st = json.loads(json.loads(r)["status"])
                 st["process"] = i
-                per.append(st)
+                return st
             except Exception as e:
-                per.append({"process": i, "error": str(e)})
+                return {"process": i, "error": str(e)}
+
+        # concurrent polls: one saturated backend (its pool's ~5 s acquire
+        # deadline) must not stall the status reply by 5 s PER backend —
+        # exactly when an operator is polling (review r3)
+        per = list(
+            await asyncio.gather(
+                *(poll(i, b) for i, b in enumerate(self.backends))
+            )
+        )
         ok = self.forwarded_ok
         merged = {
             "running": self.running,
@@ -347,7 +362,6 @@ class OCRBalancer:
                         cmd = json.loads(line).get("command")
                     except Exception:
                         pass  # backend replies with the invalid-JSON error
-                self.total_requests += 1
                 if cmd == "status":
                     resp = await self._merged_status()
                 elif cmd == "shutdown":
@@ -457,8 +471,10 @@ class ServiceSupervisor:
         self.procs: List[Optional[subprocess.Popen]] = [None] * n_processes
         self.restarts = 0
         self.running = False
+        # gen-0 paths come from worker_socket so the balancer and the
+        # workers can never disagree on the path scheme
         self.backends = [
-            Backend(f"{socket_path}.w{i}") for i in range(n_processes)
+            Backend(self.worker_socket(i)) for i in range(n_processes)
         ]
         self.balancer = OCRBalancer(socket_path, self.backends)
         self.balancer.on_shutdown = self._mark_stopping
@@ -487,7 +503,13 @@ class ServiceSupervisor:
             ) else None,
         )
 
-    async def _wait_socket(self, path: str, timeout: float) -> bool:
+    async def _wait_socket(
+        self, path: str, timeout: float, proc: Optional[subprocess.Popen] = None
+    ) -> bool:
+        """Wait for a worker socket; gives up EARLY when the worker died
+        or the supervisor is stopping — a worker that crashes at boot
+        (bad flag, bad model dir) must not hang the supervisor for the
+        whole --boot-timeout hour (review r3)."""
         deadline = time.monotonic() + timeout
         while time.monotonic() < deadline:
             if os.path.exists(path):
@@ -498,6 +520,10 @@ class ServiceSupervisor:
                     return True
                 except OSError:
                     pass
+            if proc is not None and proc.poll() is not None:
+                return False  # child exited without binding the socket
+            if not self.running:
+                return False  # Ctrl-C / stop during boot
             await asyncio.sleep(0.2)
         return False
 
@@ -510,7 +536,7 @@ class ServiceSupervisor:
             t0 = time.monotonic()
             self.procs[i] = self._spawn(i)
             ok = await self._wait_socket(
-                self.worker_socket(i), self.boot_timeout
+                self.worker_socket(i), self.boot_timeout, self.procs[i]
             )
             if ok:
                 print(
@@ -549,7 +575,7 @@ class ServiceSupervisor:
         ok = False
         try:
             ok = await self._wait_socket(
-                self.worker_socket(i, new_gen), self.boot_timeout
+                self.worker_socket(i, new_gen), self.boot_timeout, new_proc
             )
         finally:
             # boot failed, shutdown, or monitor cancelled mid-boot: the
@@ -567,14 +593,17 @@ class ServiceSupervisor:
         self.backends[i].retarget(self.worker_socket(i))
         self.recycles += 1
         # graceful retire: drain via the service's own shutdown command
+        w = None
         try:
             r, w = await asyncio.open_unix_connection(old_path)
             w.write(b'{"command":"shutdown"}\n')
             await w.drain()
             await asyncio.wait_for(r.readline(), 10)
-            w.close()
         except Exception:
             pass
+        finally:
+            if w is not None:
+                w.close()  # a wedged exchange must not leak the fd
         if old_proc is not None:
             try:
                 await asyncio.get_running_loop().run_in_executor(
@@ -629,9 +658,9 @@ class ServiceSupervisor:
         for p in procs:
             if p is not None and p.poll() is None:
                 p.terminate()
+        # reap OFF the event loop (a SIGTERM-ignoring worker used to
+        # freeze the loop 10 s per process — blocking a second Ctrl-C and
+        # in-flight client writes) and always wait() after kill
         for p in procs:
             if p is not None:
-                try:
-                    p.wait(timeout=10)
-                except subprocess.TimeoutExpired:
-                    p.kill()
+                await self._reap(p)

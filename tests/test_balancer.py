@@ -614,3 +614,86 @@ class TestRotateReaping:
         run(go())
         assert proc.returncode is not None  # reaped, not a zombie
         assert time.monotonic() - t0 < 15
+
+
+class TestBootFailFast:
+    def test_crashed_worker_fails_boot_quickly(self, tmp_path):
+        """A worker that dies at boot (bad flag) must fail start_async in
+        seconds, not hang for the full --boot-timeout hour (review r3)."""
+        sup = ServiceSupervisor(
+            str(tmp_path / "b.sock"), 1, worker_args=[],
+            argv_prefix=[sys.executable, "-c", "import sys; sys.exit(2)"],
+            boot_timeout=3600.0,
+        )
+
+        async def go():
+            t0 = time.monotonic()
+            with pytest.raises(RuntimeError):
+                await sup.start_async()
+            return time.monotonic() - t0
+
+        dt = run(go())
+        assert dt < 10, dt
+
+    def test_stop_during_boot_aborts_wait(self, tmp_path):
+        """self.running flipping off mid-boot (Ctrl-C) aborts the socket
+        wait instead of polling out the timeout."""
+        sup = ServiceSupervisor(
+            str(tmp_path / "b.sock"), 1, worker_args=[],
+            argv_prefix=[sys.executable, "-c", "import time; time.sleep(60)"],
+            boot_timeout=3600.0,
+        )
+
+        async def go():
+            async def stopper():
+                await asyncio.sleep(0.3)
+                sup.running = False
+
+            sup.running = True
+            t = asyncio.get_running_loop().create_task(stopper())
+            t0 = time.monotonic()
+            ok = await sup._wait_socket("/nonexistent.sock", 3600.0,
+                                       sup._spawn(0))
+            await t
+            return ok, time.monotonic() - t0
+
+        ok, dt = run(go())
+        assert ok is False and dt < 5
+        # clean up the sleeping child
+        for p in sup.procs:
+            if p is not None and p.poll() is None:
+                p.terminate()
+
+    def test_merged_status_polls_backends_concurrently(self, tmp_path):
+        """One slow backend must not stall status by its delay PER
+        backend — polls gather concurrently."""
+        socks = []
+        for i in range(3):
+            socks.append(str(tmp_path / f"w{i}.sock"))
+
+        async def slow_worker(reader, writer):
+            while await reader.readline():
+                await asyncio.sleep(0.5)
+                writer.write(
+                    (json.dumps({"success": True, "status": "{}"}) + "\n").encode()
+                )
+                await writer.drain()
+
+        async def go():
+            servers = [
+                await asyncio.start_unix_server(slow_worker, path=s)
+                for s in socks
+            ]
+            bal = OCRBalancer(
+                str(tmp_path / "bal.sock"), [Backend(s) for s in socks]
+            )
+            t0 = time.monotonic()
+            r = await bal._merged_status()
+            dt = time.monotonic() - t0
+            for s in servers:
+                s.close()
+            return r, dt
+
+        r, dt = run(go())
+        assert r["success"] is True
+        assert dt < 1.2, dt  # ~0.5 s concurrent, not ~1.5 s serial

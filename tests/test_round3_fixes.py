@@ -460,3 +460,31 @@ class TestCrossChipPerRequestTiming:
         # strictly DECREASING times, while the old cumulative stamping
         # (shared stream start) gave increasing ones
         assert times[0] > times[1] > times[2]
+
+
+class TestBenchGateNameChange:
+    def test_gate_fallback_fails_check(self):
+        """Losing the ascii bundle silently downgraded the gate to digits
+        and bypassed the accuracy comparison — a gate-name change vs
+        BENCH_GOOD.json is itself a failure (review r3)."""
+        import bench
+
+        good = {
+            "value": 37.0,
+            "extra": {
+                "trained_weights_e2e_exact_match": 1.0,
+                "trained_gate": "ascii",
+            },
+        }
+        res = {
+            "value": 36.0,
+            "extra": {
+                "fused_onchip_ms": 2.8,
+                "trained_weights_e2e_exact_match": 1.0,
+                "trained_gate": "digits",
+            },
+        }
+        fails = bench.check_regressions(res, good)
+        assert any("gate changed" in f for f in fails)
+        res["extra"]["trained_gate"] = "ascii"
+        assert bench.check_regressions(res, good) == []
