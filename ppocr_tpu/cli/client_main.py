@@ -24,7 +24,12 @@ def build_parser() -> argparse.ArgumentParser:
         dest="socket",
         default="/tmp/ocr_service.sock",
     )
-    p.add_argument("--timeout", type=int, default=30000, help="timeout in ms")
+    p.add_argument(
+        "--timeout",
+        type=int,
+        default=5000,
+        help="timeout in ms (reference default, ocr_client_main.cpp:63)",
+    )
     p.add_argument("--status", action="store_true", help="query service status")
     p.add_argument("--shutdown", action="store_true", help="stop the service")
     p.add_argument("--pretty", action="store_true", help="pretty-print the JSON")
@@ -38,13 +43,15 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
     if not (args.status or args.shutdown or args.image):
-        build_parser().print_help()
+        parser.print_help()
         return 1
 
     from ..serve import OCRIPCClient
 
+    recognized = not (args.status or args.shutdown)
     client = OCRIPCClient(resolve_socket_path(args.socket), args.timeout)
     if not client.connect():
         print(f"Failed to connect to OCR service at {args.socket}", file=sys.stderr)
@@ -56,6 +63,11 @@ def main(argv=None) -> int:
             response = client.get_service_status()
         else:
             response = client.recognize_image(args.image)
+    except ConnectionError as e:
+        # mid-request failure (recycle, response timeout, peer close):
+        # a clean error like the connect path, not a traceback
+        print(f"Request failed: {e}", file=sys.stderr)
+        return 2
     finally:
         client.disconnect()
 
@@ -63,15 +75,24 @@ def main(argv=None) -> int:
         print(json.dumps(response, ensure_ascii=False, indent=2))
     else:
         print(json.dumps(response, ensure_ascii=False, separators=(",", ":")))
-    if args.visualize and args.image and response.get("success"):
+    if args.visualize and recognized and response.get("success"):
         import cv2
 
         from ..utils.visualize import visualize_boxes
 
         img = cv2.imread(args.image)
-        if img is not None:
+        if img is None:
+            print(
+                f"cannot re-read {args.image} for visualization",
+                file=sys.stderr,
+            )
+            return 3
+        try:
             visualize_boxes(img, response.get("words", []), args.visualize)
-            print(f"visualization written to {args.visualize}", file=sys.stderr)
+        except (IOError, cv2.error) as e:
+            print(f"visualization failed: {e}", file=sys.stderr)
+            return 3
+        print(f"visualization written to {args.visualize}", file=sys.stderr)
     return 0 if response.get("success") else 3
 
 

@@ -24,8 +24,19 @@ from .geometry import iou_float
 
 
 def load_table_labels(path: str, merge_no_span_structure: bool = True) -> List[str]:
+    """Table-structure dict loader (Utility::ReadDict, utility.cpp:32-48).
+
+    Interior blank lines are KEPT like the reference's std::getline loop —
+    dropping them would shift every later class index and decode wrong
+    tags for identical logits. Documented deviation: trailing ``\\r`` is
+    stripped (a CRLF-authored dict would otherwise leak carriage returns
+    into the emitted HTML — same harmless-bug fix as pipeline.charset)."""
     with open(path, "r", encoding="utf-8") as f:
-        labels = [line.rstrip("\r\n") for line in f if line.strip("\r\n") != ""]
+        raw = f.read()
+    lines = raw.split("\n")
+    if lines and lines[-1] == "":
+        lines = lines[:-1]  # the final newline, not an empty class
+    labels = [line.rstrip("\r") for line in lines]
     if merge_no_span_structure:
         labels.append("<td></td>")
         labels = [t for t in labels if t != "<td>"]

@@ -94,3 +94,18 @@ def test_table_resize_pad():
     assert padded.shape[:2] == (488, 488)
     assert padded[-1, -1].tolist() == [0, 0, 0]
     assert resize_hw(img, 50, 60).shape == (50, 60, 3)
+
+
+def test_table_labels_keep_interior_blank_lines(tmp_path):
+    """ReadDict keeps blank lines (utility.cpp:32-48): dropping one would
+    shift every later class index and decode wrong tags (review r3)."""
+    from ppocr_tpu.ops.structure import load_table_labels
+
+    p = tmp_path / "dict.txt"
+    p.write_text("<thead>\n\n<tr>\n")
+    labels = load_table_labels(str(p), merge_no_span_structure=False)
+    assert labels == ["sos", "<thead>", "", "<tr>", "eos"]
+    # CRLF dicts don't leak \r into the emitted HTML (documented deviation)
+    p.write_bytes(b"<thead>\r\n<tr>\r\n")
+    labels = load_table_labels(str(p), merge_no_span_structure=False)
+    assert labels == ["sos", "<thead>", "<tr>", "eos"]

@@ -89,7 +89,8 @@ def test_visualize_boxes(tmp_path):
     out_path = str(tmp_path / "vis.png")
     canvas = visualize_boxes(img, words, out_path)
     assert os.path.exists(out_path)
-    assert canvas[5, 20].tolist() == [0, 0, 255]  # drawn edge pixel
+    # green, CV_RGB(0,255,0) like the reference's VisualizeBboxes
+    assert canvas[5, 20].tolist() == [0, 255, 0]  # drawn edge pixel
 
 
 def test_worker_recommendation():
