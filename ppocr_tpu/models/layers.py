@@ -62,11 +62,15 @@ def conv_transpose2x2(x: jnp.ndarray, w: jnp.ndarray, bias=None) -> jnp.ndarray:
     """
     n, h, wd, c = x.shape
     cout = w.shape[-1]
-    t = jnp.tensordot(x, w, axes=[[3], [0]])  # [n, h, w, 2, 2, cout]
-    t = t.astype(x.dtype).transpose(0, 1, 3, 2, 4, 5)
+    # f32 MXU accumulation + f32 bias add like conv2d/linear in this
+    # module (review r3: this one silently accumulated in bf16)
+    t = jnp.tensordot(
+        x, w, axes=[[3], [0]], preferred_element_type=jnp.float32
+    )  # [n, h, w, 2, 2, cout]
+    t = t.transpose(0, 1, 3, 2, 4, 5)
     out = t.reshape(n, 2 * h, 2 * wd, cout)
     if bias is not None:
-        out = out + bias
+        out = out + bias.astype(jnp.float32)
     return out.astype(x.dtype)
 
 

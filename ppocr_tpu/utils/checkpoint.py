@@ -17,12 +17,21 @@ import jax
 import numpy as np
 
 
+_EMPTY = "__empty__"  # marker array for empty dict/list subtrees
+
+
 def _flatten(tree, prefix="") -> Dict[str, np.ndarray]:
     out = {}
     if isinstance(tree, dict):
+        if not tree:
+            out[f"{prefix}{_EMPTY}"] = np.array("dict")
         for k, v in tree.items():
             out.update(_flatten(v, f"{prefix}{k}/"))
     elif isinstance(tree, (list, tuple)):
+        # tuples round-trip as LISTS (documented: the model pytrees use
+        # dicts/lists only)
+        if not tree:
+            out[f"{prefix}{_EMPTY}"] = np.array("list")
         for i, v in enumerate(tree):
             out.update(_flatten(v, f"{prefix}{i}/"))
     else:
@@ -42,19 +51,30 @@ def _unflatten(flat: Dict[str, np.ndarray]):
     def fix(node):
         if not isinstance(node, dict):
             return node
+        if _EMPTY in node:
+            return [] if str(node[_EMPTY]) == "list" else {}
         keys = list(node.keys())
+        # a LIST only when the keys are exactly 0..n-1 (a genuine dict
+        # with sparse digit keys used to crash on the missing indices)
         if keys and all(k.isdigit() for k in keys):
-            return [fix(node[str(i)]) for i in range(len(keys))]
+            idx = sorted(int(k) for k in keys)
+            if idx == list(range(len(keys))):
+                return [fix(node[str(i)]) for i in idx]
         return {k: fix(v) for k, v in node.items()}
 
     return fix(root)
 
 
-def save_params_npz(path: str, params) -> None:
-    """Save a nested param pytree to one compressed .npz."""
+def save_params_npz(path: str, params) -> str:
+    """Save a nested param pytree to one compressed .npz at EXACTLY
+    ``path`` (an open file handle sidesteps np.savez's silent '.npz'
+    suffixing, which made the reported and actual paths diverge for
+    extension-less --out arguments). Returns the path."""
     flat = _flatten(jax.device_get(params))
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    np.savez_compressed(path, **flat)
+    with open(path, "wb") as f:
+        np.savez_compressed(f, **flat)
+    return path
 
 
 def load_params_npz(path: str):

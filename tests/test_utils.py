@@ -218,3 +218,56 @@ def test_pallas_blob_stats_matches_fused_formulation():
     )
     for got, name in ((x0, "x0"), (x1, "x1"), (y0, "y0"), (y1, "y1")):
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref[name]))
+
+
+class TestCheckpointRoundTrip:
+    """Round-3 review: npz round-trip structural fidelity."""
+
+    def test_exact_path_no_silent_npz_suffix(self, tmp_path):
+        from ppocr_tpu.utils.checkpoint import (
+            load_params_npz,
+            save_params_npz,
+        )
+
+        p = str(tmp_path / "weights_no_ext")
+        out = save_params_npz(p, {"a": np.ones(3)})
+        assert out == p and os.path.exists(p)
+        np.testing.assert_array_equal(load_params_npz(p)["a"], np.ones(3))
+
+    def test_empty_containers_survive(self, tmp_path):
+        from ppocr_tpu.utils.checkpoint import (
+            load_params_npz,
+            save_params_npz,
+        )
+
+        tree = {"blocks": [], "head": {"w": np.ones(2)}, "extra": {}}
+        p = str(tmp_path / "t.npz")
+        save_params_npz(p, tree)
+        got = load_params_npz(p)
+        assert got["blocks"] == [] and got["extra"] == {}
+        np.testing.assert_array_equal(got["head"]["w"], np.ones(2))
+
+    def test_sparse_digit_keys_stay_a_dict(self, tmp_path):
+        from ppocr_tpu.utils.checkpoint import (
+            load_params_npz,
+            save_params_npz,
+        )
+
+        tree = {"1": np.ones(1), "3": np.ones(2)}  # digit keys, not 0..n-1
+        p = str(tmp_path / "d.npz")
+        save_params_npz(p, tree)
+        got = load_params_npz(p)
+        assert isinstance(got, dict) and set(got) == {"1", "3"}
+
+
+def test_persistent_cache_second_path_warns_and_keeps_first(tmp_path):
+    import warnings
+
+    from ppocr_tpu.utils import xla_cache
+
+    first = xla_cache.enable_persistent_cache()
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        got = xla_cache.enable_persistent_cache(str(tmp_path / "other"))
+    assert got == first  # the ACTIVE dir, not the ignored new one
+    assert any("already active" in str(x.message) for x in w)
