@@ -58,6 +58,14 @@ def main() -> int:
         "target charset — train/finetune.py reinit_ctc_head)",
     )
     p.add_argument("--out", default="/tmp/rec_synthetic.npz")
+    p.add_argument(
+        "--save-every",
+        type=int,
+        default=0,
+        help="checkpoint the params to --out every N steps (0 = only at "
+        "the end) so a long run interrupted mid-flight still yields "
+        "servable weights",
+    )
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
 
@@ -153,6 +161,9 @@ def main() -> int:
                 f"({(time.time()-t0):.0f}s)",
                 flush=True,
             )
+        if args.save_every and step % args.save_every == 0:
+            save_params_npz(args.out, jax.device_get(state.params))
+            print(f"  checkpointed -> {args.out} (step {step})", flush=True)
 
     prefetch.close()
     # evaluate greedy decode on fresh samples
