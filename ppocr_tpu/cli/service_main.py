@@ -118,6 +118,16 @@ def build_parser() -> argparse.ArgumentParser:
         "axis-aligned boxes",
     )
     p.add_argument(
+        "--crop-src-mult",
+        type=int,
+        default=None,
+        help="fast-path only: sample rec/cls crops from an N×-resolution "
+        "resize of the source image instead of the det-scale canvas "
+        "(default 1). Recovers staged-path crop sharpness when det "
+        "downscales (large inputs, small --det-buckets) at N² the image "
+        "upload bytes per request",
+    )
+    p.add_argument(
         "--mesh",
         type=int,
         default=1,
@@ -240,6 +250,11 @@ def resolve_service_config(args):
         )
     if args.max_boxes:
         config.fused_max_boxes = args.max_boxes
+    if args.crop_src_mult is not None:
+        if args.crop_src_mult < 1:
+            print("--crop-src-mult must be >= 1", flush=True)
+            return None, 2
+        config.fused_crop_src_mult = args.crop_src_mult
     config.fused_rotated_boxes = bool(args.rotated_boxes)
     config.cross_chip = bool(args.cross_chip)
     config.rec.decode = args.rec_decode

@@ -54,6 +54,7 @@ class CrossChipFusedOCR:
         self.decode = kw["decode"]
         self.beam_size = cfg.rec.beam_size
         self.rotated = kw["rotated"]
+        self.crop_src_mult = kw["crop_src_mult"]
         prep, rec = build_fused_parts(
             # stages run single-device (committed inputs), so the pallas
             # paths are safe whenever the stage's platform is a TPU
@@ -80,15 +81,27 @@ class CrossChipFusedOCR:
 
     # -- core two-stage dispatch -------------------------------------------
 
-    def _dispatch(self, canvas: np.ndarray, content_hw: np.ndarray):
-        """Dispatch both stages for one padded [1,H,W,3] canvas; returns
-        lazy (boxes, quads, valid, score, roots, idx, val, blank) device
-        futures."""
+    def _dispatch(
+        self,
+        canvas: np.ndarray,
+        content_hw: np.ndarray,
+        src: Optional[np.ndarray] = None,
+    ):
+        """Dispatch both stages for one padded [1,H,W,3] canvas (plus the
+        m×-resolution crop source when ``fused_crop_src_mult > 1``);
+        returns lazy (boxes, quads, valid, score, roots, idx, val, blank)
+        device futures."""
         img = jax.device_put(canvas, self.det_device)
         chw = jax.device_put(content_hw, self.det_device)
-        crops_n, boxes, quads, valid, score, roots, tier = self._prep(
-            self.det_params, self.cls_params, img, chw
-        )
+        if self.crop_src_mult > 1:
+            src_dev = jax.device_put(src, self.det_device)
+            crops_n, boxes, quads, valid, score, roots, tier = self._prep(
+                self.det_params, self.cls_params, img, chw, src_dev
+            )
+        else:
+            crops_n, boxes, quads, valid, score, roots, tier = self._prep(
+                self.det_params, self.cls_params, img, chw
+            )
         crops_b = jax.device_put(crops_n, self.rec_device)  # ★ d2d handoff
         tier_b = jax.device_put(tier, self.rec_device)
         idx, val, blank = self._rec(self.rec_params, crops_b, tier_b)
@@ -128,8 +141,17 @@ class CrossChipFusedOCR:
             bw = pick_bucket(cfg.det.shape_buckets, rw)
             canvas = np.zeros((1, bh, bw, 3), np.uint8)
             canvas[0, :rh, :rw] = resized
+            src = None
+            m = self.crop_src_mult
+            if m > 1:
+                import cv2
+
+                src = np.zeros((1, bh * m, bw * m, 3), np.uint8)
+                src[0, : rh * m, : rw * m] = cv2.resize(
+                    image, (rw * m, rh * m), interpolation=cv2.INTER_LINEAR
+                )
             futures = self._dispatch(
-                canvas, np.array([[rh, rw]], np.int32)
+                canvas, np.array([[rh, rw]], np.int32), src
             )
             pending.append((futures, (ratio_h, ratio_w), image.shape, t_dispatch))
 
@@ -183,11 +205,15 @@ class CrossChipFusedOCR:
     def warmup(self):
         """Main-thread precompile of both stages for every det bucket."""
         buckets = self.engine.config.det.shape_buckets
+        m = self.crop_src_mult
         for h in buckets:
             for w in buckets:
                 jax.device_get(
                     self._dispatch(
                         np.zeros((1, h, w, 3), np.uint8),
                         np.array([[h, w]], np.int32),
+                        np.zeros((1, h * m, w * m, 3), np.uint8)
+                        if m > 1
+                        else None,
                     )
                 )

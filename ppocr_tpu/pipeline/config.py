@@ -79,6 +79,15 @@ class PipelineConfig:
     # horizontally squashed (docs/PARITY.md). Staged-path cap for
     # comparison: width_buckets[-1]/img_h ≈ 46:1.
     fused_width_mult: int = 2
+    # fused path: crop-source resolution multiplier. 1 (default) samples
+    # rec/cls crops from the det-scale canvas — zero extra upload, exact
+    # for images the det resize didn't shrink (the serving det512 card
+    # workload). m > 1 ships an m×-resolution resize of the SOURCE image
+    # alongside the det canvas and samples crops from it, recovering the
+    # staged path's crop sharpness where det downscales (wide scenes,
+    # det_fit_cap hits) at m²× the image upload bytes + one extra set of
+    # compiled variants (docs/PARITY.md "fused crop resolution").
+    fused_crop_src_mult: int = 1
     # fused path, experimental: route per-blob bbox/score through the
     # single-pass Pallas VMEM accumulator (ops.pallas_kernels.
     # blob_stats_pallas) instead of the [K,H,W] masked reductions —

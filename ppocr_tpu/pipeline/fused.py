@@ -23,7 +23,10 @@ design (docs/PARITY.md):
 
   * score is the blob mean of the probability map (≈ "slow" mode);
   * unclip expands the blob rect by area·ratio/perimeter;
-  * rec crops resample the det-scale image (no second upload);
+  * rec crops resample the det-scale image by default (no second
+    upload); ``fused_crop_src_mult=m`` ships an m×-resolution crop
+    source alongside the det canvas, recovering the staged path's crop
+    sharpness where det downscales (at m² the image upload bytes);
   * rotated mode: PCA orientation, not rotating calipers (exact for
     rectangular blobs).
 
@@ -263,12 +266,20 @@ def _blob_stats(
 
 
 def _crop_resize_bilinear(
-    img_f32, x0, y0, x1, y1, content_w, out_h, out_w, rot180=None
+    img_f32, x0, y0, x1, y1, content_w, out_h, out_w, rot180=None, scale=1.0
 ):
     """Sample the box region to [out_h, out_w, 3]; columns ≥ content_w are
     black (matching rec's pad-before-normalize). ``rot180`` (scalar bool)
     mirrors the sampling grid — exactly equivalent to cv2.rotate(crop, 180)
     before resizing (the cls label==1 action, ocr_worker.cpp:277-281).
+
+    ``scale`` (static float ≥ 1) reads the pixels from an ``img_f32`` that
+    is a *scale×* higher-resolution rendering of the det canvas: the grid
+    is computed in det-map coords (where x0..y1 live) and then mapped with
+    pixel-center alignment ``p_src = (p_det + 0.5)·scale − 0.5`` — the
+    fused-path fix for the det-downscale resolution loss vs the staged
+    path's full-resolution host crops (ops.resize.crnn_resize over the
+    source image, preprocess_op.cpp:95-118).
 
     TPU-first formulation: bilinear resampling as TWO interpolation-matrix
     matmuls (rows then columns) instead of 4-tap gathers. The weight matrix
@@ -286,6 +297,9 @@ def _crop_resize_bilinear(
     if rot180 is not None:
         rows = jnp.where(rot180, (y0 + y1) - rows, rows)
         cols = jnp.where(rot180, (x0 + x1) - cols, cols)
+    if scale != 1.0:
+        rows = (rows + 0.5) * scale - 0.5
+        cols = (cols + 0.5) * scale - 0.5
 
     h, w, _ = img_f32.shape
     ry = jnp.clip(rows, 0.0, h - 1.0)  # [out_h]
@@ -323,13 +337,19 @@ def build_fused_parts(
     n_width_tiers: int = 2,
     blob_kernel: bool = False,
     use_dilation: bool = False,
+    crop_src_mult: int = 1,
 ):
     """The fused pipeline split at its natural cross-chip boundary:
 
     ``prep(det_params, cls_params, img_u8, content_hw)`` — det forward,
     blob geometry, (optional in-graph cls) and rec-input crop sampling;
     returns (crops_n [B·K, h, w, 3] normalized, boxes, valid, score,
-    roots).
+    roots). With ``crop_src_mult=m > 1``, ``prep`` takes a sixth operand
+    ``src_u8 [B, m·H, m·W, 3]`` — the source image resized to m× the det
+    content extent — and samples the rec/cls crops from IT instead of the
+    det canvas, recovering the resolution the det downscale threw away
+    (the staged path crops the full-resolution source,
+    preprocess_op.cpp:95-118; docs/PARITY.md "fused crop resolution").
 
     ``rec(rec_params, crops_n)`` — recognizer forward + CTC top-k.
 
@@ -429,16 +449,33 @@ def build_fused_parts(
     def sample_crops(img, cx0, cy0, cx1, cy1, content_w, out_h, out_w, rot180):
         return jax.vmap(
             lambda a, b, c, dd, cw, rt: _crop_resize_bilinear(
-                img, a, b, c, dd, cw, out_h, out_w, rot180=rt
+                img,
+                a,
+                b,
+                c,
+                dd,
+                cw,
+                out_h,
+                out_w,
+                rot180=rt,
+                scale=float(crop_src_mult),
             )
         )(cx0, cy0, cx1, cy1, content_w, rot180)
 
-    def prep(det_params, cls_params, img_u8, content_hw):
+    def prep(det_params, cls_params, img_u8, content_hw, src_u8=None):
         """img_u8: [B, H, W, 3] — B is a native batch (cross-request
         batching); content_hw: [B, 2] int32 (rh, rw) actual resized extents
         inside the padded canvas. det/cls run as one big batch on the MXU
-        while the irregular geometry is vmapped per image."""
+        while the irregular geometry is vmapped per image. ``src_u8``
+        (required iff crop_src_mult > 1): the crop_src_mult×-resolution
+        crop source [B, m·H, m·W, 3]."""
+        if (src_u8 is None) == (crop_src_mult > 1):
+            raise ValueError(
+                f"crop_src_mult={crop_src_mult} requires src_u8 "
+                f"{'present' if crop_src_mult > 1 else 'absent'}"
+            )
         imgs = img_u8.astype(jnp.float32)  # [B, H, W, 3] 0..255
+        crop_src = src_u8.astype(jnp.float32) if src_u8 is not None else imgs
         nb = imgs.shape[0]
         x = (imgs / 255.0 - jnp.asarray(IMAGENET_MEAN)) * jnp.asarray(
             IMAGENET_SCALE
@@ -462,7 +499,7 @@ def build_fused_parts(
                 lambda im, a, b, c, dd, cw, rt: sample_crops(
                     im, a, b, c, dd, cw, ch, cw_max, rt
                 )
-            )(imgs, cx0, cy0, cx1, cy1, cls_content, no_rot)
+            )(crop_src, cx0, cy0, cx1, cy1, cls_content, no_rot)
             cls_n = (
                 cls_crops.reshape(nb * max_boxes, ch, cw_max, 3) / 255.0
                 - jnp.asarray(HALF_MEAN)
@@ -484,7 +521,7 @@ def build_fused_parts(
             lambda im, a, b, c, dd, cw, rt: sample_crops(
                 im, a, b, c, dd, cw, rec_img_h, rec_img_w, rt
             )
-        )(imgs, cx0, cy0, cx1, cy1, content_w, rot180)
+        )(crop_src, cx0, cy0, cx1, cy1, content_w, rot180)
         crops_n = (
             crops.reshape(nb * max_boxes, rec_img_h, rec_img_w, 3) / 255.0
             - jnp.asarray(HALF_MEAN)
@@ -575,10 +612,13 @@ def build_fused_step(
     n_width_tiers: int = 2,
     blob_kernel: bool = False,
     use_dilation: bool = False,
+    crop_src_mult: int = 1,
 ):
     """Returns jitted ``step(det_params, rec_params, cls_params,
     img_u8[B,H,W,3], content_hw[B,2]) -> FusedOutputs`` (compiled per padded
     det shape) — the single-dispatch composition of :func:`build_fused_parts`.
+    With ``crop_src_mult > 1`` the step takes a sixth operand
+    ``src_u8 [B, m·H, m·W, 3]`` (the m×-resolution crop source).
     With ``cls_shape=(h, w)`` the step also classifies each crop's
     orientation in-graph and mirrors the rec sampling grid on label==1
     (quirk preserved: the cls score/threshold is never consulted). With
@@ -600,12 +640,12 @@ def build_fused_step(
         n_width_tiers=n_width_tiers,
         blob_kernel=blob_kernel,
         use_dilation=use_dilation,
+        crop_src_mult=crop_src_mult,
     )
 
-    @jax.jit
-    def step(det_params, rec_params, cls_params, img_u8, content_hw) -> FusedOutputs:
+    def _step(det_params, rec_params, cls_params, img_u8, content_hw, src_u8):
         crops_n, boxes, quads, valid, score, roots, tier = prep(
-            det_params, cls_params, img_u8, content_hw
+            det_params, cls_params, img_u8, content_hw, src_u8
         )
         idx, val, blank = rec(rec_params, crops_n, tier)
         nb = img_u8.shape[0]
@@ -619,6 +659,17 @@ def build_fused_step(
             roots,
             blank.reshape(nb, max_boxes, t) if blank is not None else None,
             quads,
+        )
+
+    if crop_src_mult > 1:
+        return jax.jit(_step)
+
+    # mult==1 keeps the historical 5-arg signature (and its compiled
+    # variants / persistent-cache entries) unchanged
+    @jax.jit
+    def step(det_params, rec_params, cls_params, img_u8, content_hw):
+        return _step(
+            det_params, rec_params, cls_params, img_u8, content_hw, None
         )
 
     return step
@@ -640,6 +691,9 @@ def fused_part_kwargs(engine, max_boxes: int) -> dict:
     device-dependent ``use_pallas``/``blob_kernel`` on the result."""
     cfg = engine.config
     mult = width_mult(cfg)
+    src_mult = int(getattr(cfg, "fused_crop_src_mult", 1))
+    if src_mult < 1:
+        raise ValueError(f"fused_crop_src_mult must be >= 1: {src_mult}")
     with_cls = bool(cfg.enable_cls and engine.cls_params is not None)
     return {
         "det_thresh": cfg.det.thresh,
@@ -659,6 +713,7 @@ def fused_part_kwargs(engine, max_boxes: int) -> dict:
         "rotated": bool(getattr(cfg, "fused_rotated_boxes", False)),
         "n_width_tiers": mult.bit_length(),
         "use_dilation": bool(cfg.det.use_dilation),
+        "crop_src_mult": src_mult,
     }
 
 
@@ -681,6 +736,7 @@ class FusedOCR:
         self.decode = kw["decode"]
         self.beam_size = cfg.rec.beam_size
         self.rotated = kw["rotated"]
+        self.crop_src_mult = kw["crop_src_mult"]
         self._step = build_fused_step(
             use_pallas=engine._pallas_ok(),
             blob_kernel=bool(
@@ -706,16 +762,16 @@ class FusedOCR:
         n = self._n_data()
         return -(-nb // n) * n
 
-    def _place_batch(self, batch, content_hw):
-        """Shard (batch, content_hw) over "data" when a mesh is configured;
+    def _place_batch(self, *arrays):
+        """Shard batch-leading arrays over "data" when a mesh is configured;
         otherwise hand jit the raw host arrays (single-device placement)."""
         mesh = self.engine.mesh
         if mesh is None:
-            return batch, content_hw
+            return arrays
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         s = NamedSharding(mesh, P("data"))
-        return jax.device_put(batch, s), jax.device_put(content_hw, s)
+        return tuple(jax.device_put(a, s) for a in arrays)
 
     def _words_from_outputs(self, out, b, ratio_h, ratio_w, src_w, src_h):
         if getattr(self, "decode", "greedy") == "beam":
@@ -821,7 +877,8 @@ class FusedOCR:
                 f"{len(request_ids)} requests"
             )
         arrival = dict(zip(request_ids, arrival_times))
-        prepped = []  # (group_key, padded_img, ratios, meta)
+        mult = self.crop_src_mult
+        prepped = []  # (group_key, padded_img, src_img, ratios, meta)
         for image, rid in zip(images, request_ids):
             resized, ratio_h, ratio_w = det_resize(
                 image, cfg.det.limit_type, cfg.det.limit_side_len
@@ -834,8 +891,26 @@ class FusedOCR:
             bw = pick_bucket(cfg.det.shape_buckets, rw)
             canvas = np.zeros((bh, bw, 3), np.uint8)
             canvas[:rh, :rw] = resized
+            src = None
+            if mult > 1:
+                # the m×-resolution crop source comes straight from the
+                # ORIGINAL image (cv2 bilinear, like the staged host crops'
+                # source), not from re-upsampling the det-resized canvas
+                import cv2
+
+                src = cv2.resize(
+                    image, (rw * mult, rh * mult),
+                    interpolation=cv2.INTER_LINEAR,
+                )
             prepped.append(
-                ((bh, bw), canvas, (rh, rw), (ratio_h, ratio_w), (rid, image.shape))
+                (
+                    (bh, bw),
+                    canvas,
+                    src,
+                    (rh, rw),
+                    (ratio_h, ratio_w),
+                    (rid, image.shape),
+                )
             )
 
         results = {}
@@ -855,10 +930,19 @@ class FusedOCR:
                 nb = self._pad_bucket(pick_bucket(batch_buckets, len(chunk)))
                 batch = np.zeros((nb, bh, bw, 3), np.uint8)
                 content_hw = np.zeros((nb, 2), np.int32)  # pad slots: (0,0)
-                for j, (_, canvas, (rh, rw), _, _) in enumerate(chunk):
+                src_batch = (
+                    np.zeros((nb, bh * mult, bw * mult, 3), np.uint8)
+                    if mult > 1
+                    else None
+                )
+                for j, (_, canvas, src, (rh, rw), _, _) in enumerate(chunk):
                     batch[j] = canvas
                     content_hw[j] = (rh, rw)
-                batch_dev, content_dev = self._place_batch(batch, content_hw)
+                    if src_batch is not None:
+                        src_batch[j, : rh * mult, : rw * mult] = src
+                step_args = [batch, content_hw]
+                if src_batch is not None:
+                    step_args.append(src_batch)
                 inflight.append(
                     (
                         chunk,
@@ -866,15 +950,14 @@ class FusedOCR:
                             self.engine.det_params,
                             self.engine.rec_params,
                             self._cls_params(),
-                            batch_dev,
-                            content_dev,
+                            *self._place_batch(*step_args),
                         ),
                     )
                 )
         for chunk, pending in inflight:
             out = jax.device_get(pending)  # ONE fetch per device call
             group_done = time.perf_counter()
-            for j, (_, _, _, (ratio_h, ratio_w), (rid, shape)) in enumerate(
+            for j, (_, _, _, _, (ratio_h, ratio_w), (rid, shape)) in enumerate(
                 chunk
             ):
                 words = self._words_from_outputs(
@@ -901,6 +984,7 @@ class FusedOCR:
         if batch_buckets is None:
             batch_buckets = self.engine.config.request_batch_buckets
         buckets = self.engine.config.det.shape_buckets
+        mult = self.crop_src_mult
         for nb in sorted({self._pad_bucket(b) for b in batch_buckets}):
             for h in buckets:
                 for w in buckets:
@@ -908,13 +992,16 @@ class FusedOCR:
                     content = np.tile(
                         np.array([[h, w]], np.int32), (nb, 1)
                     )
-                    img_dev, content_dev = self._place_batch(img, content)
+                    step_args = [img, content]
+                    if mult > 1:
+                        step_args.append(
+                            np.zeros((nb, h * mult, w * mult, 3), np.uint8)
+                        )
                     jax.device_get(
                         self._step(
                             self.engine.det_params,
                             self.engine.rec_params,
                             self._cls_params(),
-                            img_dev,
-                            content_dev,
+                            *self._place_batch(*step_args),
                         )
                     )

@@ -69,11 +69,20 @@ def save_params_npz(path: str, params) -> str:
     """Save a nested param pytree to one compressed .npz at EXACTLY
     ``path`` (an open file handle sidesteps np.savez's silent '.npz'
     suffixing, which made the reported and actual paths diverge for
-    extension-less --out arguments). Returns the path."""
+    extension-less --out arguments). The write is atomic — temp file in
+    the same directory then os.replace — so an interrupted periodic
+    checkpoint never truncates the previous good one. Returns the path."""
     flat = _flatten(jax.device_get(params))
-    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    with open(path, "wb") as f:
-        np.savez_compressed(f, **flat)
+    path = os.path.abspath(path)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    try:
+        with open(tmp, "wb") as f:
+            np.savez_compressed(f, **flat)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
     return path
 
 

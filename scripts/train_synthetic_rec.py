@@ -162,7 +162,7 @@ def main() -> int:
                 flush=True,
             )
         if args.save_every and step % args.save_every == 0:
-            save_params_npz(args.out, jax.device_get(state.params))
+            save_params_npz(args.out, state.params)
             print(f"  checkpointed -> {args.out} (step {step})", flush=True)
 
     prefetch.close()
@@ -185,7 +185,7 @@ def main() -> int:
     for d, t in samples:
         print(f"  gt={t!r:12} pred={d!r}")
 
-    save_params_npz(args.out, jax.device_get(state.params))
+    save_params_npz(args.out, state.params)
     print(f"saved weights to {args.out}")
     return 0
 

@@ -116,14 +116,17 @@ def _score(worker, n_scenes, seed):
     return exact, norm_exact, total, det_found, det_gt, misses
 
 
+@pytest.fixture(scope="module")
+def staged_score(jumbo_model_dir):
+    eng = OCREngine(str(jumbo_model_dir), _cfg())
+    assert eng.random_weights == {"det": False, "rec": False}
+    assert len(eng.charset) > 4500  # the custom keys file is in force
+    return _score(OCRWorker(eng, 0), 14, 90210)
+
+
 class TestJumboGates:
-    def test_staged_pipeline_reads_jumbo_charset(self, jumbo_model_dir):
-        eng = OCREngine(str(jumbo_model_dir), _cfg())
-        assert eng.random_weights == {"det": False, "rec": False}
-        assert len(eng.charset) > 4500  # the custom keys file is in force
-        exact, norm, total, det_found, det_gt, misses = _score(
-            OCRWorker(eng, 0), 14, 90210
-        )
+    def test_staged_pipeline_reads_jumbo_charset(self, staged_score):
+        exact, norm, total, det_found, det_gt, misses = staged_score
         assert total >= 20
         assert det_found >= det_gt - 2, (det_found, det_gt)
         assert norm / total >= 0.80, (
@@ -131,8 +134,16 @@ class TestJumboGates:
         )
         assert exact / total >= 0.60, f"{exact}/{total} raw; misses: {misses}"
 
-    def test_fused_pipeline_reads_jumbo_charset(self, jumbo_model_dir):
-        cfg = _cfg(fast_path=True, fused_max_boxes=8)
+    def test_fused_pipeline_reads_jumbo_charset(
+        self, jumbo_model_dir, staged_score
+    ):
+        # crop_src_mult=2 restores full scene resolution to the fused
+        # crops (scenes are 192px, det runs at 96 — without it the fused
+        # path reads 2×-blurred crops and loses whole words vs staged at
+        # 5k confusable classes; VERDICT r3 weak #2)
+        cfg = _cfg(
+            fast_path=True, fused_max_boxes=8, fused_crop_src_mult=2
+        )
         cfg.det.shape_buckets = (96,)
         eng = OCREngine(str(jumbo_model_dir), cfg)
         exact, norm, total, det_found, det_gt, misses = _score(
@@ -141,6 +152,12 @@ class TestJumboGates:
         assert det_found >= det_gt - 2, (det_found, det_gt)
         assert norm / total >= 0.80, (
             f"{norm}/{total} normalized ({exact} raw); misses: {misses}"
+        )
+        # the fused path may not lose more than 1 word vs staged on the
+        # SAME scenes/seed (VERDICT r3 next-step #2's done criterion)
+        assert norm >= staged_score[1] - 1, (
+            f"fused {norm} vs staged {staged_score[1]} normalized; "
+            f"misses: {misses}"
         )
 
     def test_head_indices_span_the_full_head(self, jumbo_model_dir):

@@ -155,6 +155,73 @@ class TestFused:
         assert (out.boxes[0][valid, 3] <= rh - 1).all()
 
 
+class TestCropSrcMult:
+    """fused_crop_src_mult: rec/cls crops sampled from an m×-resolution
+    source image (the fused-path fix for det-downscale crop blur —
+    staged crops come from the full-resolution source,
+    preprocess_op.cpp:95-118)."""
+
+    def test_scaled_grid_samples_same_signal(self):
+        """Sampling a linear gradient at scale=2 from its analytically
+        2×-resolved rendering equals scale=1 sampling of the base image:
+        bilinear interpolation of a linear function is exact, and the
+        pixel-center mapping p_src=(p+0.5)·m−0.5 lines the grids up."""
+        import jax.numpy as jnp
+
+        from ppocr_tpu.pipeline.fused import _crop_resize_bilinear
+
+        h, w, m = 32, 48, 2
+
+        def f(y, x):  # linear in both axes
+            return np.stack(
+                [2.0 * x + 3.0 * y, x - y + 10.0, 0.5 * x], axis=-1
+            ).astype(np.float32)
+
+        ys, xs = np.mgrid[0:h, 0:w]
+        base = jnp.asarray(f(ys, xs))
+        ys2, xs2 = np.mgrid[0 : h * m, 0 : w * m]
+        hi = jnp.asarray(f((ys2 + 0.5) / m - 0.5, (xs2 + 0.5) / m - 0.5))
+        kw = dict(
+            x0=4.0, y0=3.0, x1=40.0, y1=25.0, content_w=30.0, out_h=8,
+            out_w=32, rot180=jnp.bool_(False),
+        )
+        lo_s = np.asarray(_crop_resize_bilinear(base, scale=1.0, **kw))
+        hi_s = np.asarray(_crop_resize_bilinear(hi, scale=float(m), **kw))
+        np.testing.assert_allclose(hi_s, lo_s, atol=1e-3)
+
+    def test_mult2_keeps_geometry_identical(self, engine, card_image_path):
+        """Boxes/validity are computed from the det canvas alone, so a
+        mult=2 fused pipeline must emit EXACTLY the mult=1 boxes — only
+        the crop pixels (hence possibly texts) change."""
+        img = cv2.imread(str(card_image_path))
+        base = engine.fused_ocr().process(img, 1)
+        old = engine.config.fused_crop_src_mult
+        engine.config.fused_crop_src_mult = 2
+        try:
+            hi = FusedOCR(engine, max_boxes=engine.config.fused_max_boxes)
+            got = hi.process(img, 1)
+        finally:
+            engine.config.fused_crop_src_mult = old
+        assert got["success"] is True
+        assert [w["box"] for w in got["words"]] == [
+            w["box"] for w in base["words"]
+        ]
+
+    def test_mult2_process_batch_and_warmup_shapes(self, engine):
+        """The batched path pads the m× source into its own canvas and the
+        warmup precompiles the 6-operand step without error."""
+        old = engine.config.fused_crop_src_mult
+        engine.config.fused_crop_src_mult = 2
+        try:
+            hi = FusedOCR(engine, max_boxes=8)
+            imgs = [synthetic_text_image(), synthetic_text_image()]
+            rs = hi.process_batch(imgs, [4, 5])
+        finally:
+            engine.config.fused_crop_src_mult = old
+        assert [r["request_id"] for r in rs] == [4, 5]
+        assert all(r["success"] for r in rs)
+
+
 class TestFusedCls:
     def test_mirrored_sampler_equals_rot180(self):
         """rot180=True sampling must equal rotating the unrotated crop
