@@ -27,6 +27,39 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 REFERENCE_BASELINE_MS = 100.0  # "100ms级" headline, reference README.md:2
+
+# public per-chip peak matmul throughput (dense bf16, f32 accumulation) for
+# MFU accounting; keyed on substrings of jax.devices()[0].device_kind.
+# v5e ("v5 lite"): 197 TFLOP/s bf16 (cloud.google.com/tpu/docs/v5e).
+_PEAK_BF16_FLOPS = {
+    "v5 lite": 197e12,
+    "v5e": 197e12,
+    "v5p": 459e12,
+    "v4": 275e12,
+    "v6": 918e12,
+}
+
+
+def _peak_flops(device) -> float | None:
+    kind = getattr(device, "device_kind", str(device)).lower()
+    for key, val in _PEAK_BF16_FLOPS.items():
+        if key in kind:
+            return val
+    return None
+
+
+def _flops_of(jitted, *args) -> float | None:
+    """Analytic FLOP count of one call via XLA's HLO cost analysis
+    (jit(...).lower(...).cost_analysis(), VERDICT r3 weak #4); None when
+    the backend doesn't expose it."""
+    try:
+        ca = jitted.lower(*args).cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        f = float(ca.get("flops", 0.0))
+        return f if f > 0 else None
+    except Exception:
+        return None
 MODEL_DIR = os.environ.get("PPOCR_MODEL_DIR", "/root/reference/models")
 CARD = os.environ.get(
     "PPOCR_BENCH_IMAGE", "/root/reference/images/card-jd.jpg"
@@ -337,19 +370,107 @@ def run_bench() -> dict:
     l1, ln = _make_loop(1), _make_loop(n_loop)
     margs = (engine.det_params, engine.rec_params)
 
-    def _best(loop, salt):
+    def _best(loop, salt, img, chw):
         ts = []
         for i in range(2):
-            v = img_padded.copy()
+            v = img.copy()
             v[0, 9, 9, 1] = salt + i
             t0 = time.perf_counter()
-            jax.device_get(loop(*margs, v, content_hw))
+            jax.device_get(loop(*margs, v, chw))
             ts.append(time.perf_counter() - t0)
         return min(ts)
 
     jax.device_get(l1(*margs, img_padded, content_hw))  # compile
     jax.device_get(ln(*margs, img_padded, content_hw))
-    onchip_ms = (_best(ln, 170) - _best(l1, 40)) / (n_loop - 1) * 1e3
+    onchip_ms = (
+        _best(ln, 170, img_padded, content_hw)
+        - _best(l1, 40, img_padded, content_hw)
+    ) / (n_loop - 1) * 1e3
+
+    # --- MFU / roofline + saturated throughput (VERDICT r3 weak #4) ---
+    # FLOPs from XLA's own HLO cost analysis of the fused step; MFU = how
+    # much of the chip's peak matmul rate the measured on-chip time uses.
+    peak = _peak_flops(jax.devices()[0])
+    step_flops = _flops_of(
+        step, engine.det_params, engine.rec_params, None, img_padded,
+        content_hw,
+    )
+    mfu_pct = (
+        round(step_flops / (onchip_ms * 1e-3) / peak * 100, 2)
+        if step_flops and peak and onchip_ms > 0
+        else None
+    )
+
+    # saturated fused step: the SAME dependent-loop protocol at batch 8
+    # (amortizes the per-step fixed costs; the honest images/s/chip
+    # ceiling of this graph, BASELINE.json "crops/sec per chip" analog)
+    sat_b = 8
+    img_sat = np.repeat(img_padded, sat_b, axis=0)
+    content_sat = np.repeat(content_hw, sat_b, axis=0)
+    jax.device_get(l1(*margs, img_sat, content_sat))  # compile batched
+    jax.device_get(ln(*margs, img_sat, content_sat))
+    sat_ms = (
+        _best(ln, 171, img_sat, content_sat)
+        - _best(l1, 41, img_sat, content_sat)
+    ) / (n_loop - 1) * 1e3
+    fused_sat_ips = sat_b / sat_ms * 1e3 if sat_ms > 0 else None
+    sat_flops = _flops_of(
+        step, engine.det_params, engine.rec_params, None, img_sat,
+        content_sat,
+    )
+    mfu_sat_pct = (
+        round(sat_flops / (sat_ms * 1e-3) / peak * 100, 2)
+        if sat_flops and peak and sat_ms > 0
+        else None
+    )
+
+    # saturated recognizer: batch-64 rec forward in a dependent loop —
+    # the pure MXU crops/sec/chip ceiling without det/geometry
+    from ppocr_tpu.models.rec_svtr import rec_forward
+
+    rec_b, rec_h, rec_w = 64, config.rec.img_h, config.rec.img_w
+    crops_sat = (
+        np.random.default_rng(0)
+        .standard_normal((rec_b, rec_h, rec_w, 3))
+        .astype("float32")
+    )
+
+    def _make_rec_loop(n):
+        @jax.jit
+        def looped(rp, x):
+            def it(i, acc):
+                v = (x + i.astype(jnp.float32) * 1e-3).astype(engine.dtype)
+                return acc + rec_forward(rp, v).astype(jnp.float32).sum()
+
+            return jax.lax.fori_loop(0, n, it, jnp.float32(0))
+
+        return looped
+
+    r1, rn = _make_rec_loop(1), _make_rec_loop(n_loop)
+
+    def _best_rec(loop, salt):
+        ts = []
+        for i in range(2):
+            v = crops_sat.copy()
+            v[0, 0, 0, 0] = salt + i
+            t0 = time.perf_counter()
+            jax.device_get(loop(engine.rec_params, v))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    jax.device_get(r1(engine.rec_params, crops_sat))  # compile
+    jax.device_get(rn(engine.rec_params, crops_sat))
+    rec_sat_ms = (_best_rec(rn, 3.0) - _best_rec(r1, 1.0)) / (n_loop - 1) * 1e3
+    rec_sat_cps = rec_b / rec_sat_ms * 1e3 if rec_sat_ms > 0 else None
+    recf = jax.jit(rec_forward)
+    rec_flops = _flops_of(
+        recf, engine.rec_params, crops_sat.astype(engine.dtype)
+    )
+    rec_mfu_pct = (
+        round(rec_flops / (rec_sat_ms * 1e-3) / peak * 100, 2)
+        if rec_flops and peak and rec_sat_ms > 0
+        else None
+    )
 
     # e2e accuracy with the bundled in-repo-trained weights: real OCR on
     # this chip (det finds rendered text lines, rec reads them back);
@@ -382,6 +503,26 @@ def run_bench() -> dict:
             "staged_overlap_images_per_sec": round(staged_qps, 1),
             "rec_crops_per_sec": round(crops_per_sec, 1),
             "fused_pipelined_images_per_sec": round(fused_qps, 1),
+            # roofline accounting: XLA-counted FLOPs / measured on-chip
+            # time / public per-chip bf16 peak (docs/PERF.md "MFU")
+            "fused_step_gflops": (
+                round(step_flops / 1e9, 3) if step_flops else None
+            ),
+            "mfu_pct": mfu_pct,
+            "fused_sat_batch": sat_b,
+            "fused_sat_ms_per_image": (
+                round(sat_ms / sat_b, 3) if fused_sat_ips else None
+            ),
+            "fused_sat_images_per_sec": (
+                round(fused_sat_ips, 1) if fused_sat_ips else None
+            ),
+            "mfu_sat_pct": mfu_sat_pct,
+            "rec_sat_batch": rec_b,
+            "rec_sat_crops_per_sec": (
+                round(rec_sat_cps, 1) if rec_sat_cps else None
+            ),
+            "rec_sat_mfu_pct": rec_mfu_pct,
+            "peak_tflops_bf16": round(peak / 1e12, 1) if peak else None,
             "iters": ITERS,
             "image": os.path.basename(CARD),
             "profile": "serving(det512, rec 28px, cls off); fused single-dispatch",
@@ -450,6 +591,16 @@ def check_regressions(result: dict, good: dict) -> list:
                     f"homoglyph-normalized e2e match {norm} < good "
                     f"{good_norm} - 0.01"
                 )
+        # saturated-throughput regression gates (VERDICT r3 weak #4):
+        # the MXU-ceiling numbers may not silently drop >20%
+        for key in ("fused_sat_images_per_sec", "rec_sat_crops_per_sec"):
+            gv = good.get("extra", {}).get(key)
+            cv = extra.get(key)
+            if gv is not None:
+                if cv is None:
+                    fails.append(f"{key} did not run (good: {gv})")
+                elif cv < gv * 0.80:
+                    fails.append(f"{key} {cv} < good {gv} - 20%")
         good_jumbo = good.get("extra", {}).get(
             "jumbo_e2e_homoglyph_norm_match"
         )

@@ -400,6 +400,8 @@ class SyntheticSceneDataset:
         renderer: Optional[PILTextRenderer] = None,
         core_alphabet: Optional[str] = None,
         core_frac: float = 0.75,
+        hard_chars: str = "",
+        hard_frac: float = 0.0,
         seed: int = 0,
     ):
         self.alphabet = alphabet
@@ -428,17 +430,34 @@ class SyntheticSceneDataset:
         self._core_arr = (
             np.array(list(core_alphabet)) if core_alphabet else None
         )
+        # TRAINING-ONLY hard-pair oversampling: with probability hard_frac
+        # one position is overwritten by a near-homoglyph char (l/I/1,
+        # O/0 …) so the recognizer sees enough of the 1-px-cue pairs to
+        # learn them (raw ascii exact-match stalled at 0.92 on pure l↔I
+        # flips — VERDICT r3 weak #3). Eval/gate datasets keep the default
+        # hard_frac=0.0, so their sampled streams are byte-identical.
+        self.hard_frac = hard_frac
+        hard = [c for c in hard_chars if c in set(alphabet)]
+        self._hard_arr = np.array(hard) if hard and hard_frac > 0 else None
 
     def sample_text(self) -> str:
         n = int(self.rng.integers(self.min_len, self.max_len + 1))
         if not self.core_alphabet:
-            return "".join(self.rng.choice(self._alpha_arr, size=n))
-        core = self.rng.random(n) < self.core_frac
-        core[int(self.rng.integers(n))] = True  # ≥1 solid anchor char
-        return "".join(
-            str(self.rng.choice(self._core_arr if c else self._alpha_arr))
-            for c in core
-        )
+            text = "".join(self.rng.choice(self._alpha_arr, size=n))
+        else:
+            core = self.rng.random(n) < self.core_frac
+            core[int(self.rng.integers(n))] = True  # ≥1 solid anchor char
+            text = "".join(
+                str(self.rng.choice(self._core_arr if c else self._alpha_arr))
+                for c in core
+            )
+        if self._hard_arr is not None and self.rng.random() < self.hard_frac:
+            pos = int(self.rng.integers(n))
+            text = (
+                text[:pos] + str(self.rng.choice(self._hard_arr))
+                + text[pos + 1 :]
+            )
+        return text
 
     def _measure(self, text: str):
         """(draw_ctx, tight (tw, th)) for one line under either backend."""
@@ -631,11 +650,12 @@ class SyntheticRecDataset:
 
     def batch(self, batch_size: int) -> Tuple[Dict[str, np.ndarray], List[str]]:
         texts = [self.sample_text() for _ in range(batch_size)]
-        images = np.stack(
+        # raw uint8 — the train step normalizes ON DEVICE
+        # (trainer.normalize_rec_images), so each batch ships 4× fewer
+        # bytes through the leak-per-byte host→device path
+        x = np.stack(
             [render_line(t, self.img_h, self.img_w, self.rng) for t in texts]
         )
-        # normalize exactly like the serving path (mean 0.5, scale 2)
-        x = (images.astype(np.float32) / 255.0 - 0.5) * 2.0
         labels = np.zeros((batch_size, self.max_len), np.int32)
         pad = np.ones((batch_size, self.max_len), np.float32)
         for i, t in enumerate(texts):
@@ -707,8 +727,9 @@ class SceneCropRecDataset:
                     )
                 )
                 texts.append(text)
-        images = np.stack(crops)
-        x = (images.astype(np.float32) / 255.0 - 0.5) * 2.0
+        # raw uint8; normalization happens on device (see
+        # SyntheticRecDataset.batch / trainer.normalize_rec_images)
+        x = np.stack(crops)
         labels = np.zeros((batch_size, self.max_len), np.int32)
         pad = np.ones((batch_size, self.max_len), np.float32)
         for i, t in enumerate(texts):

@@ -28,13 +28,28 @@ class TrainState(NamedTuple):
     step: jnp.ndarray
 
 
+def normalize_rec_images(images):
+    """uint8 HWC images → the rec [-1, 1] normalization, on device.
+
+    Datasets ship raw uint8 so a training batch moves 4× fewer bytes
+    host→device than pre-normalized f32 (the axon tunnel leaks host RSS
+    per byte transferred AND wedged mid-run at ~50 GB cumulative during
+    the round-3/4 jumbo runs — CLAUDE.md gotchas); f32 inputs pass
+    through for pre-normalized callers. Device math is the exact host
+    expression ((x/255 − 0.5)·2) in f32, so the loss is bit-identical."""
+    if images.dtype == jnp.uint8:
+        return (images.astype(jnp.float32) / 255.0 - 0.5) * 2.0
+    return images
+
+
 def ctc_train_loss(params, batch):
-    """Mean CTC loss over a batch dict {images, labels, label_paddings}.
+    """Mean CTC loss over a batch dict {images, labels, label_paddings}
+    (images uint8 or pre-normalized f32 — see normalize_rec_images).
 
     optax.ctc_loss applies log_softmax internally, so raw logits go in
     directly (an explicit log_softmax first was numerically identical —
     idempotent — but a wasted full-vocab pass per step, review r3)."""
-    logits = rec_forward_logits(params, batch["images"])
+    logits = rec_forward_logits(params, normalize_rec_images(batch["images"]))
     logit_paddings = jnp.zeros(logits.shape[:2], jnp.float32)
     per_seq = optax.ctc_loss(
         logits, logit_paddings, batch["labels"], batch["label_paddings"]

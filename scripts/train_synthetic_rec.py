@@ -37,6 +37,14 @@ def main() -> int:
         help="scene-crops mode: random crop rotation in +-degrees",
     )
     p.add_argument(
+        "--hard-frac",
+        type=float,
+        default=0.0,
+        help="oversample near-homoglyph chars (l/I/1, O/0 ...): fraction "
+        "of sampled lines that get one such char injected. Training-only "
+        "knob; the eval/gate distribution is unchanged",
+    )
+    p.add_argument(
         "--alphabet",
         choices=["digits", "ascii", "full", "jumbo"],
         default="digits",
@@ -99,14 +107,20 @@ def main() -> int:
     else:
         charset = load_charset("/root/reference/models/rec/ppocr_keys_v1.txt")
     def make_scenes():
+        kw = {"max_len": args.max_len} if args.max_len else {}
+        if args.hard_frac > 0:
+            # oversample near-homoglyph chars (training only — the
+            # eval/gate datasets keep the canonical distribution)
+            from ppocr_tpu.train.synthetic import HOMOGLYPHS
+
+            kw["hard_frac"] = args.hard_frac
+            kw["hard_chars"] = "".join(c for fam in HOMOGLYPHS for c in fam)
         if args.alphabet != "digits":
             from ppocr_tpu.train.synthetic import text_scene_dataset
 
-            kw = {"max_len": args.max_len} if args.max_len else {}
             return text_scene_dataset(args.alphabet, seed=7, **kw)
         from ppocr_tpu.train.synthetic import SyntheticSceneDataset
 
-        kw = {"max_len": args.max_len} if args.max_len else {}
         return SyntheticSceneDataset(seed=7, **kw)
 
     if args.scene_crops:
@@ -169,7 +183,9 @@ def main() -> int:
     # evaluate greedy decode on fresh samples
     import jax.numpy as jnp
 
-    fwd = jax.jit(rec_forward)
+    from ppocr_tpu.train.trainer import normalize_rec_images
+
+    fwd = jax.jit(lambda p, x: rec_forward(p, normalize_rec_images(x)))
     exact = total = 0
     samples = []
     for _ in range(args.eval_batches):
