@@ -1,0 +1,145 @@
+"""Quantified deviation of the fused PCA-oriented rect vs the staged
+path's exact rotating-calipers minAreaRect (VERDICT r3 missing #3).
+
+The fused ``--rotated-boxes`` mode computes a principal-axis oriented
+rect in closed form on device (pipeline.fused._blob_stats rotated=True);
+the reference/staged path runs cv::minAreaRect's rotating calipers
+(postprocess_op.cpp:134-168). For RECTANGULAR blobs the two coincide;
+for real lumpy text-ink blobs PCA's axis is the ink's second-moment
+axis, not the min-area axis, so quads deviate. This suite pins the
+deviation DISTRIBUTION on rendered-word blobs across rotation angles —
+the docs/PARITY.md percentile table is regenerated from these numbers
+(run with ``-s`` to print them).
+"""
+
+import cv2
+import numpy as np
+import pytest
+
+
+def _quad_iou(a, b, shape):
+    ma = np.zeros(shape, np.uint8)
+    mb = np.zeros(shape, np.uint8)
+    cv2.fillPoly(ma, [np.round(np.asarray(a)).astype(np.int32)], 1)
+    cv2.fillPoly(mb, [np.round(np.asarray(b)).astype(np.int32)], 1)
+    inter = np.logical_and(ma, mb).sum()
+    union = np.logical_or(ma, mb).sum()
+    return inter / union if union else 0.0
+
+
+def _pca_quad(mask: np.ndarray):
+    """The fused path's device PCA rect for the largest blob in ``mask``
+    → (quad [4,2], theta_rad)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ppocr_tpu.pipeline.fused import _blob_stats, _connected_components
+
+    fg = jnp.asarray(mask.astype(bool))
+    labels = jax.jit(_connected_components)(fg)
+    stats = jax.device_get(
+        jax.jit(lambda l, p: _blob_stats(l, p, 4, rotated=True))(
+            labels, fg.astype(jnp.float32)
+        )
+    )
+    k = int(np.argmax(stats["area"]))
+    c, s = np.cos(stats["theta"][k]), np.sin(stats["theta"][k])
+    us = np.array(
+        [stats["u0"][k], stats["u1"][k], stats["u1"][k], stats["u0"][k]]
+    )
+    vs = np.array(
+        [stats["v0"][k], stats["v0"][k], stats["v1"][k], stats["v1"][k]]
+    )
+    return np.stack([us * c - vs * s, us * s + vs * c], axis=1), float(
+        stats["theta"][k]
+    )
+
+
+def _angle_err_deg(theta_rad, ref_rect):
+    t = np.degrees(theta_rad) % 90.0
+    r = ref_rect[2] % 90.0
+    return min(abs(t - r), 90.0 - abs(t - r))
+
+
+def _word_blob(text, angle, h=128, w=256, thickness=2, scale=1.2):
+    """Binarized ink mask of ``text`` rotated by ``angle`` degrees — a
+    lumpy text-like blob (closer to a det activation than a clean rect).
+    Dilation bridges inter-character gaps into ONE blob, like the DB
+    shrink-map activation of a text line."""
+    img = np.zeros((h, w), np.uint8)
+    cv2.putText(
+        img,
+        text,
+        (30, h // 2),
+        cv2.FONT_HERSHEY_SIMPLEX,
+        scale,
+        255,
+        thickness,
+        cv2.LINE_AA,
+    )
+    m = cv2.getRotationMatrix2D((w / 2, h / 2), angle, 1.0)
+    rot = cv2.warpAffine(img, m, (w, h))
+    ink = (rot > 127).astype(np.uint8)
+    return cv2.dilate(ink, np.ones((5, 5), np.uint8))
+
+
+class TestRotatedDeviation:
+    def test_exact_on_rectangles_all_angles(self):
+        """Clean rotated rectangles (the documented exactness claim): the
+        PCA ORIENTATION is exact — angle within 0.5° of rotating calipers
+        at every angle in a -44..44 sweep (measured ≤0.05°); raster IoU
+        ≥ 0.90 (the residual is sub-pixel quad-fill rasterization of two
+        near-identical quads, not orientation error)."""
+        for angle in range(-44, 45, 8):
+            rect = ((120.0, 60.0), (150.0, 30.0), float(angle))
+            mask = np.zeros((128, 256), np.uint8)
+            cv2.fillPoly(
+                mask, [np.round(cv2.boxPoints(rect)).astype(np.int32)], 1
+            )
+            quad, theta = _pca_quad(mask)
+            ref = cv2.minAreaRect(
+                np.argwhere(mask)[:, ::-1].astype(np.int32)
+            )
+            iou = _quad_iou(quad, cv2.boxPoints(ref), mask.shape)
+            assert iou >= 0.90, (angle, iou)
+            assert _angle_err_deg(theta, ref) <= 0.5, (angle, theta, ref[2])
+
+    def test_deviation_distribution_on_word_blobs(self):
+        """Rendered-word ink blobs across angles/lengths/thicknesses: the
+        PCA quad's IoU against exact minAreaRect must hold the documented
+        distribution (docs/PARITY.md table). Prints the percentiles."""
+        rng = np.random.default_rng(7)
+        words = ["Hi", "OCR", "hello", "Banner", "payment", "ABCDEFGH"]
+        ious, angle_errs = [], []
+        for i in range(48):
+            text = words[i % len(words)]
+            angle = float(rng.uniform(-40, 40))
+            mask = _word_blob(
+                text,
+                angle,
+                thickness=int(rng.integers(2, 4)),
+                scale=float(rng.uniform(0.9, 1.6)),
+            )
+            quad, theta = _pca_quad(mask)
+            ref = cv2.minAreaRect(
+                np.argwhere(mask)[:, ::-1].astype(np.int32)
+            )
+            ious.append(_quad_iou(quad, cv2.boxPoints(ref), mask.shape))
+            angle_errs.append(_angle_err_deg(theta, ref))
+        ious = np.array(ious)
+        angle_errs = np.array(angle_errs)
+        pcts = {
+            f"p{p}": round(float(np.percentile(ious, p)), 3)
+            for p in (10, 25, 50, 90)
+        }
+        apcts = {
+            f"p{p}": round(float(np.percentile(angle_errs, p)), 2)
+            for p in (50, 90, 99)
+        }
+        print(f"\nrotated-word IoU percentiles: {pcts}")
+        print(f"angle-error-deg percentiles: {apcts}")
+        # the PARITY.md table's pinned floor: regenerate the table when
+        # these move (deliberate _blob_stats changes)
+        assert np.percentile(ious, 50) >= 0.88, pcts
+        assert np.percentile(ious, 10) >= 0.80, pcts
+        assert np.percentile(angle_errs, 90) <= 6.0, apcts
