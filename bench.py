@@ -50,10 +50,14 @@ def _peak_flops(device) -> float | None:
 
 def _flops_of(jitted, *args) -> float | None:
     """Analytic FLOP count of one call via XLA's HLO cost analysis
-    (jit(...).lower(...).cost_analysis(), VERDICT r3 weak #4); None when
-    the backend doesn't expose it."""
+    (VERDICT r3 weak #4); None when the backend doesn't expose it. The
+    axon backend returns None from lowered.cost_analysis() but fills it
+    after compile() — a cache hit for graphs the bench already ran."""
     try:
-        ca = jitted.lower(*args).cost_analysis()
+        lowered = jitted.lower(*args)
+        ca = lowered.cost_analysis()
+        if ca is None:
+            ca = lowered.compile().cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
         f = float(ca.get("flops", 0.0))
@@ -349,6 +353,30 @@ def run_bench() -> dict:
     jax.block_until_ready(out)
     fused_qps = 40 / (time.perf_counter() - t0)
 
+    # same protocol with a DISTINCT image per dispatch — the honest
+    # novel-upload pipelining number (content-identical uploads are
+    # deduped by the transfer path, so the loop above measures dispatch
+    # pipelining only; VERDICT r3 next-step #6)
+    novel = []
+    for i in range(40):
+        v = img_padded.copy()
+        v[0, 3, : 64, 0] = i  # unique content, same shape
+        novel.append(v)
+    outs = []
+    t0 = time.perf_counter()
+    for v in novel:
+        outs.append(
+            step(
+                engine.det_params,
+                engine.rec_params,
+                fused_ocr._cls_params(),
+                v,
+                content_hw,
+            )
+        )
+    jax.block_until_ready(outs)
+    fused_novel_qps = 40 / (time.perf_counter() - t0)
+
     # TRUE on-chip fused-step time, immune to the tunnel's replay cache:
     # N-vs-1 dependent in-graph loop, novel args, device_get sync (see
     # docs/PERF.md "Measurement protocol")
@@ -446,7 +474,11 @@ def run_bench() -> dict:
 
         return looped
 
-    r1, rn = _make_rec_loop(1), _make_rec_loop(n_loop)
+    # the rec step is ~0.3 ms, so the loop count must be large enough for
+    # the N−1 delta to dwarf the tunnel's ±5 ms roundtrip noise (17 iters
+    # measured a nonsense 124% MFU)
+    n_rec_loop = 129
+    r1, rn = _make_rec_loop(1), _make_rec_loop(n_rec_loop)
 
     def _best_rec(loop, salt):
         ts = []
@@ -460,7 +492,9 @@ def run_bench() -> dict:
 
     jax.device_get(r1(engine.rec_params, crops_sat))  # compile
     jax.device_get(rn(engine.rec_params, crops_sat))
-    rec_sat_ms = (_best_rec(rn, 3.0) - _best_rec(r1, 1.0)) / (n_loop - 1) * 1e3
+    rec_sat_ms = (
+        _best_rec(rn, 3.0) - _best_rec(r1, 1.0)
+    ) / (n_rec_loop - 1) * 1e3
     rec_sat_cps = rec_b / rec_sat_ms * 1e3 if rec_sat_ms > 0 else None
     recf = jax.jit(rec_forward)
     rec_flops = _flops_of(
@@ -503,6 +537,7 @@ def run_bench() -> dict:
             "staged_overlap_images_per_sec": round(staged_qps, 1),
             "rec_crops_per_sec": round(crops_per_sec, 1),
             "fused_pipelined_images_per_sec": round(fused_qps, 1),
+            "fused_pipelined_novel_images_per_sec": round(fused_novel_qps, 1),
             # roofline accounting: XLA-counted FLOPs / measured on-chip
             # time / public per-chip bf16 peak (docs/PERF.md "MFU")
             "fused_step_gflops": (

@@ -160,6 +160,104 @@ class TestJumboGates:
             f"misses: {misses}"
         )
 
+    def test_wide_banner_width_tiers_at_jumbo_scale(self, jumbo_model_dir):
+        """A wide multi-script banner whose crop aspect exceeds the
+        default fused cap must read identically (homoglyph-normalized)
+        through the width-TIERED fused path (fused_width_mult=4) and the
+        staged bucketed path — the ascii wide-banner gate
+        (test_e2e_trained_text.py) re-run at the ~5,008-class head
+        (VERDICT r3 next-step #9; ocr_rec.cpp:47-55 runs unbounded batch
+        width)."""
+        from PIL import Image, ImageDraw
+
+        from ppocr_tpu.train.synthetic import (
+            PILTextRenderer,
+            jumbo_alphabet,
+            jumbo_homoglyph_map,
+        )
+
+        # mixed-script, all jumbo-charset members, no tiny-punctuation.
+        # Rendered at 56 px (crop DOWNSAMPLES to rec img_h 48 — sharp)
+        # so the gate tests the WIDTH TIER, not upsample softness at
+        # 5k-class confusability.
+        text = "K4ᕈ7ℜ2ѩ9Ω5"
+        assert set(text) <= set(jumbo_alphabet()), "gate text left charset"
+        r = PILTextRenderer(sizes=(56,))
+        font = r.pick_font(text, np.random.default_rng(0))
+        dx0, dy0, dx1, dy1 = r.measure(text, font)
+        tw, th = dx1 - dx0, dy1 - dy0
+        img = Image.new("RGB", (tw + 16, th + 12), (255, 255, 255))
+        ImageDraw.Draw(img).text(
+            (8 - dx0, 6 - dy0), text, font=font, fill=(0, 0, 0)
+        )
+        banner = np.asarray(img)
+        aspect = banner.shape[1] / banner.shape[0]
+        # crop content ≈ 48·aspect px: above the mult-2 canvas (256 at
+        # img_w 128), inside the mult-4 canvas (512) → exercises tier 0
+        assert 5.4 < aspect < 10.5, aspect
+
+        def wide_cfg(**kw):
+            cfg = _cfg(**kw)
+            # banner (451 px) fits the det limit → NO det downscale, so
+            # det-scale crops keep full glyph resolution (crop_src_mult
+            # stays 1) and the test isolates the width cap
+            cfg.det.limit_side_len = 512
+            cfg.det.shape_buckets = (96, 512)
+            cfg.rec.img_w = 128
+            return cfg
+
+        fam = jumbo_homoglyph_map()
+        gt_norm = None
+
+        def sim(words):
+            """Similarity (homoglyph-collapsed) of the banner-covering
+            word to gt. A squashed crop (the failure this gate exists to
+            catch) collapses CTC repeats and garbles most glyphs —
+            scoring far below the thresholds; a couple of near-clone
+            flips (K→₭, 7→𝟩: borderline logits at 5k classes that move
+            across XLA compilation variants) does not. The det weights
+            also fire a few tiny spurious blobs at this fine det scale,
+            so the scored word is the one best covering the banner."""
+            import difflib
+
+            from ppocr_tpu.train.synthetic import homoglyph_normalize
+
+            best, cover = None, 0.0
+            for w in words:
+                bx = np.array(w["box"])
+                (wx0, wy0), (wx1, wy1) = bx.min(0), bx.max(0)
+                c = (wx1 - wx0) * (wy1 - wy0)
+                if c > cover:
+                    cover, best = c, w
+            if best is None:
+                return 0.0
+            return difflib.SequenceMatcher(
+                None,
+                homoglyph_normalize(best["text"], fam),
+                homoglyph_normalize(text, fam),
+            ).ratio()
+
+        cfg_staged = wide_cfg()
+        cfg_staged.rec.width_buckets = (128, 256, 384, 512)
+        staged = OCRWorker(
+            OCREngine(str(jumbo_model_dir), cfg_staged), 0
+        ).process(banner, 1)
+
+        cfg_wide = wide_cfg(fast_path=True, fused_max_boxes=8)
+        cfg_wide.fused_width_mult = 4
+        fused = OCRWorker(
+            OCREngine(str(jumbo_model_dir), cfg_wide), 0
+        ).process(banner, 2)
+
+        # both paths read 8-10/10 chars on this banner (which 1-2 chars
+        # flip to near-clones varies across XLA compile variants — CPU vs
+        # mesh vs chip); a squashed or dropped-tier crop scores ≤~0.4.
+        # The scene-level fused ≥ staged−1 criterion lives in
+        # test_fused_pipeline_reads_jumbo_charset.
+        s_sim, f_sim = sim(staged["words"]), sim(fused["words"])
+        assert s_sim >= 0.75, (s_sim, staged["words"])
+        assert f_sim >= 0.75, (f_sim, fused["words"])
+
     def test_head_indices_span_the_full_head(self, jumbo_model_dir):
         """Decoded classes span thousands of head indices — charset
         indexing at reference scale, with every index backed by a trained
