@@ -79,6 +79,18 @@ class PipelineConfig:
     # horizontally squashed (docs/PARITY.md). Staged-path cap for
     # comparison: width_buckets[-1]/img_h ≈ 46:1.
     fused_width_mult: int = 2
+    # fused path: batch-count tiers. The rec forward scales ~linearly in
+    # batch above ~4 crops (scripts/profile_rec_scaling.py: b=32 0.85 ms
+    # vs b=8 0.27 ms at w=192), but a card image occupies only ~5-10 of
+    # the fused_max_boxes=32 crop slots. With n tiers the valid crops are
+    # compacted to the front of each image's K slots in-graph and the
+    # recognizer runs on the narrowest power-of-two slice (K, K/2, ...,
+    # K/2^(n-1)) that holds them — lax.switch executes only the taken
+    # branch. 1 disables (rec always runs all K slots). Each extra tier
+    # multiplies the rec branches per fused variant (compile time), not
+    # the dispatch count. Output parity: word emission order is
+    # root-sorted host-side, so slot compaction is invisible.
+    fused_batch_tiers: int = 3
     # fused path: crop-source resolution multiplier. 1 (default) samples
     # rec/cls crops from the det-scale canvas — zero extra upload, exact
     # for images the det resize didn't shrink (the serving det512 card

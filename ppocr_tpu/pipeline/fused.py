@@ -399,6 +399,7 @@ def build_fused_parts(
     blob_kernel: bool = False,
     use_dilation: bool = False,
     crop_src_mult: int = 1,
+    n_batch_tiers: int = 1,
 ):
     """The fused pipeline split at its natural cross-chip boundary:
 
@@ -412,13 +413,29 @@ def build_fused_parts(
     (the staged path crops the full-resolution source,
     preprocess_op.cpp:95-118; docs/PARITY.md "fused crop resolution").
 
-    ``rec(rec_params, crops_n)`` — recognizer forward + CTC top-k.
+    ``rec(rec_params, crops_n, tier)`` — recognizer forward + CTC top-k.
+    ``tier`` is a single int32 encoding BOTH the width tier and (with
+    ``n_batch_tiers > 1``) the batch-count tier:
+    ``tier = width_tier * n_batch_tiers + batch_tier``. Batch tiers
+    compact each image's valid crops to the front of its K slots
+    in-graph (stable valid-first argsort of the box coordinates BEFORE
+    sampling, so the crop gather itself is free) and run the recognizer
+    on the narrowest K/2^b slice that holds every valid crop — the rec
+    forward is ~linear in batch above ~4 crops
+    (scripts/profile_rec_scaling.py), and a card occupies ~5-10 of the
+    32 slots. Word emission order is unaffected: the host sorts by blob
+    root (``FusedOCR._words_from_outputs``), not slot index.
 
     ``build_fused_step`` jits their composition (single-dispatch serving);
     ``parallel.pipeline_stage`` jits each half separately so det/geometry
     runs on one chip and rec on another with a device-to-device crops
     handoff (SURVEY §2.4 pipeline-parallel row).
     """
+    if n_batch_tiers < 1 or (max_boxes >> (n_batch_tiers - 1)) < 1:
+        raise ValueError(
+            f"n_batch_tiers={n_batch_tiers} needs 1 <= n and "
+            f"max_boxes >> (n-1) >= 1 (max_boxes={max_boxes})"
+        )
 
     def geometry(prob, content_hw):
         """Per-image: prob map → top-K blob boxes + validity (all [K]).
@@ -547,6 +564,24 @@ def build_fused_parts(
             prob, content_hw
         )  # [B, K, 4, 2] + [B, K] stats
 
+        if n_batch_tiers > 1:
+            # compact valid crops to the front of each image's K slots
+            # (stable, so the area-descending top-K order is preserved
+            # among valid slots) — BEFORE sampling, so only the [K]
+            # coordinate vectors are gathered, never the crop pixels.
+            # Host word order is root-sorted, not slot-ordered, so this
+            # is output-invisible (_words_from_outputs).
+            perm = jnp.argsort(~valid, axis=1, stable=True)  # [B, K]
+
+            def gather(a):
+                idx = perm.reshape(perm.shape + (1,) * (a.ndim - 2))
+                return jnp.take_along_axis(a, idx, axis=1)
+
+            quads, cx0, cy0, cx1, cy1, valid, score, roots = (
+                gather(a)
+                for a in (quads, cx0, cy0, cx1, cy1, valid, score, roots)
+            )
+
         ar = (cx1 - cx0 + 1.0) / jnp.maximum(cy1 - cy0 + 1.0, 1.0)
         content_w = jnp.minimum(jnp.ceil(rec_img_h * ar), float(rec_img_w))
 
@@ -604,6 +639,17 @@ def build_fused_parts(
             tier = tier + (max_content <= float(rec_img_w >> k)).astype(
                 jnp.int32
             )
+        if n_batch_tiers > 1:
+            # batch-count tier: the narrowest power-of-two slot slice
+            # (K, K/2, …) that holds the fullest image's valid crops —
+            # they are compacted to the front of each K block above
+            max_valid = jnp.max(jnp.sum(valid, axis=1))
+            btier = jnp.int32(0)
+            for k in range(1, n_batch_tiers):
+                btier = btier + (max_valid <= (max_boxes >> k)).astype(
+                    jnp.int32
+                )
+            tier = tier * n_batch_tiers + btier
         return crops_n.astype(dtype), boxes, quads_i, valid, score, roots, tier
 
     def _decode_outputs(probs, t_full):
@@ -628,28 +674,57 @@ def build_fused_parts(
         return idx, val, None
 
     def rec(rec_params, crops_n, tier):
-        """CTC recognition with width-tiered fast paths: the recognizer
-        runs on the narrowest power-of-two slice (rec_img_w/2^tier) that
-        holds every valid crop's content — wide lines (banners, long card
-        rows) take the full-width branch with NO horizontal squash up to
-        the configured canvas, common short lines take the cheapest.
-        lax.switch executes only the taken branch on TPU; narrower
-        branches' CTC outputs are padded with pure-blank timesteps, so
-        downstream decode is unchanged."""
+        """CTC recognition with width- and batch-count-tiered fast paths:
+        the recognizer runs on the narrowest power-of-two width slice
+        (rec_img_w/2^kw) that holds every valid crop's content — wide
+        lines (banners, long card rows) take the full-width branch with
+        NO horizontal squash up to the configured canvas — and (with
+        n_batch_tiers > 1) on the narrowest power-of-two slot slice
+        (K/2^kb) that holds every image's compacted valid crops.
+        ``tier = kw * n_batch_tiers + kb``. lax.switch executes only the
+        taken branch on TPU; narrower branches' CTC outputs are padded
+        with pure-blank timesteps/slots, so downstream decode is
+        unchanged."""
         t_full = jax.eval_shape(
             rec_forward, rec_params, crops_n
         ).shape[1]
+        nb = crops_n.shape[0] // max_boxes
 
-        def make_branch(k):
-            def run(c):
-                return _decode_outputs(
-                    rec_forward(rec_params, c[:, :, : rec_img_w >> k]),
-                    t_full,
+        def make_branch(kw, kb):
+            kslots = max_boxes >> kb
+
+            def pad_slots(x, cv):
+                """[B·kslots, …] → [B·K, …] with pure-blank filler rows."""
+                if kslots == max_boxes:
+                    return x
+                x = x.reshape((nb, kslots) + x.shape[1:])
+                pad = [(0, 0), (0, max_boxes - kslots)] + [(0, 0)] * (
+                    x.ndim - 2
                 )
+                x = jnp.pad(x, pad, constant_values=cv)
+                return x.reshape((nb * max_boxes,) + x.shape[2:])
+
+            def run(c):
+                c = c.reshape(
+                    nb, max_boxes, rec_img_h, rec_img_w, 3
+                )[:, :kslots, :, : rec_img_w >> kw]
+                c = c.reshape(nb * kslots, rec_img_h, rec_img_w >> kw, 3)
+                idx, val, blank = _decode_outputs(
+                    rec_forward(rec_params, c), t_full
+                )
+                idx = pad_slots(idx, 0)  # blank id 0
+                val = pad_slots(val, 1.0)
+                if blank is not None:
+                    blank = pad_slots(blank, 1.0)
+                return idx, val, blank
 
             return run
 
-        branches = [make_branch(k) for k in range(n_width_tiers)]
+        branches = [
+            make_branch(kw, kb)
+            for kw in range(n_width_tiers)
+            for kb in range(n_batch_tiers)
+        ]
         if len(branches) == 1:
             return branches[0](crops_n)
         return lax.switch(tier, branches, crops_n)
@@ -674,6 +749,7 @@ def build_fused_step(
     blob_kernel: bool = False,
     use_dilation: bool = False,
     crop_src_mult: int = 1,
+    n_batch_tiers: int = 1,
 ):
     """Returns jitted ``step(det_params, rec_params, cls_params,
     img_u8[B,H,W,3], content_hw[B,2]) -> FusedOutputs`` (compiled per padded
@@ -702,6 +778,7 @@ def build_fused_step(
         blob_kernel=blob_kernel,
         use_dilation=use_dilation,
         crop_src_mult=crop_src_mult,
+        n_batch_tiers=n_batch_tiers,
     )
 
     def _step(det_params, rec_params, cls_params, img_u8, content_hw, src_u8):
@@ -775,6 +852,7 @@ def fused_part_kwargs(engine, max_boxes: int) -> dict:
         "n_width_tiers": mult.bit_length(),
         "use_dilation": bool(cfg.det.use_dilation),
         "crop_src_mult": src_mult,
+        "n_batch_tiers": int(getattr(cfg, "fused_batch_tiers", 1)),
     }
 
 
@@ -793,6 +871,7 @@ class FusedOCR:
         kw = fused_part_kwargs(engine, max_boxes)
         self.rec_img_w = kw["rec_img_w"]
         self.n_width_tiers = kw["n_width_tiers"]
+        self.n_batch_tiers = kw["n_batch_tiers"]
         self.with_cls = kw["cls_shape"] is not None
         self.decode = kw["decode"]
         self.beam_size = cfg.rec.beam_size

@@ -24,6 +24,7 @@ import numpy as np  # noqa: E402
 from jax import lax  # noqa: E402
 
 from ppocr_tpu.models.det_db import det_forward  # noqa: E402
+from ppocr_tpu.models.rec_svtr import rec_forward  # noqa: E402
 from ppocr_tpu.ops import det_resize  # noqa: E402
 from ppocr_tpu.ops.normalize import (  # noqa: E402
     IMAGENET_MEAN,
@@ -34,6 +35,8 @@ from ppocr_tpu.pipeline.config import pick_bucket  # noqa: E402
 from ppocr_tpu.pipeline.fused import (  # noqa: E402
     _blob_stats,
     _connected_components,
+    build_fused_parts,
+    fused_part_kwargs,
 )
 from ppocr_tpu.utils import enable_persistent_cache  # noqa: E402
 
@@ -79,10 +82,18 @@ def onchip_ms(body, img, reps=2):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--trace", default=None)
+    ap.add_argument(
+        "--batch-tiers",
+        type=int,
+        default=None,
+        help="override cfg.fused_batch_tiers (A/B the batch-count tiers)",
+    )
     args = ap.parse_args()
 
     enable_persistent_cache()
     cfg = PipelineConfig.serving()
+    if args.batch_tiers is not None:
+        cfg.fused_batch_tiers = args.batch_tiers
     engine = OCREngine("/root/reference/models", cfg)
     fused = engine.fused_ocr()
 
@@ -141,6 +152,23 @@ def main():
 
         return jax.vmap(g)(prob, content)
 
+    part_kw = fused_part_kwargs(engine, K)
+    prep_fn, _rec_fn = build_fused_parts(
+        use_pallas=engine._pallas_ok(), **part_kw
+    )
+
+    def p_prep(u8):
+        # det + geometry + crop sampling + normalize (no rec): isolates the
+        # interpolation-matmul crop cost from the recognizer forward
+        return prep_fn(dp, None, u8, content)
+
+    def p_rec_nodecode(u8):
+        # prep + rec forward at the base width (the tier the card takes),
+        # WITHOUT the CTC top-k: marginal vs p_prep is the recognizer
+        # forward; p_full minus this is decode + tier-switch overhead
+        crops_n = prep_fn(dp, None, u8, content)[0]
+        return rec_forward(rp, crops_n[:, :, : cfg.rec.img_w])
+
     def p_full(u8):
         return step.__wrapped__(dp, rp, None, u8, content)
 
@@ -148,6 +176,8 @@ def main():
     t_cc = onchip_ms(p_cc, img)
     t_stats = onchip_ms(p_stats, img)
     t_stats_k = onchip_ms(p_stats_pallas, img)
+    t_prep = onchip_ms(p_prep, img)
+    t_recf = onchip_ms(p_rec_nodecode, img)
     t_full = onchip_ms(p_full, img)
 
     print(f"det forward            : {t_det:7.3f} ms")
@@ -157,7 +187,15 @@ def main():
         f"+ blob stats [pallas]  : {t_stats_k:7.3f} ms  "
         f"(marginal {t_stats_k - t_cc:+.3f}; vs XLA {t_stats_k - t_stats:+.3f})"
     )
-    print(f"full fused step        : {t_full:7.3f} ms  (crops+rec {t_full - t_stats:+.3f})")
+    print(f"+ crop sampling        : {t_prep:7.3f} ms  (marginal {t_prep - t_stats:+.3f})")
+    print(
+        f"+ rec fwd (w={cfg.rec.img_w})     : {t_recf:7.3f} ms  "
+        f"(marginal {t_recf - t_prep:+.3f})"
+    )
+    print(
+        f"full fused step        : {t_full:7.3f} ms  "
+        f"(ctc+switch {t_full - t_recf:+.3f})"
+    )
 
     if args.trace:
         with jax.profiler.trace(args.trace):
