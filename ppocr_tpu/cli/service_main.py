@@ -113,7 +113,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--rotated-boxes",
         action="store_true",
-        help="fast-path only: emit principal-axis rotated rect quads "
+        help="fast-path only: emit min-area rotated rect quads "
         "(closed-form minAreaRect approximation on device) instead of "
         "axis-aligned boxes",
     )

@@ -105,10 +105,10 @@ class PipelineConfig:
     # blob_stats_pallas) instead of the [K,H,W] masked reductions —
     # enable after profiling with scripts/profile_fused.py --blob-kernel
     fused_blob_kernel: bool = False
-    # fused path: emit principal-axis rotated rect quads (closed-form
-    # minAreaRect approximation on device) instead of axis-aligned boxes;
-    # crops stay the quad's boundingRect — the reference's own crop rule
-    # (ocr_worker.cpp:245-259)
+    # fused path: emit min-area rotated rect quads (device rotating
+    # calipers — near-exact cv2.minAreaRect equivalent, docs/PARITY.md)
+    # instead of axis-aligned boxes; crops stay the quad's boundingRect —
+    # the reference's own crop rule (ocr_worker.cpp:245-259)
     fused_rotated_boxes: bool = False
     # fast-path cross-chip pipeline staging: det/geometry on device 0, rec
     # on device 1 with a d2d crops handoff (parallel.CrossChipFusedOCR);

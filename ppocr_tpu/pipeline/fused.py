@@ -17,8 +17,9 @@ porting findContours/minAreaRect/Clipper to a kernel, the fast path uses
 blob geometry computed on device — axis-aligned boxes by default (exactly
 right for the reference's declared workload: upright UI/card text; its own
 worker already crops axis-aligned bounding rects, ocr_worker.cpp:245-259),
-or principal-axis rotated quads with ``fused_rotated_boxes`` (closed-form
-minAreaRect approximation). Known deviations from the parity pipeline, by
+or min-area rotated quads with ``fused_rotated_boxes`` (device rotating
+calipers — a two-stage angle sweep over per-row hull extremes, near-exact
+vs cv2.minAreaRect). Known deviations from the parity pipeline, by
 design (docs/PARITY.md):
 
   * score is the blob mean of the probability map (≈ "slow" mode);
@@ -27,8 +28,8 @@ design (docs/PARITY.md):
     upload); ``fused_crop_src_mult=m`` ships an m×-resolution crop
     source alongside the det canvas, recovering the staged path's crop
     sharpness where det downscales (at m² the image upload bytes);
-  * rotated mode: PCA orientation, not rotating calipers (exact for
-    rectangular blobs).
+  * rotated mode: rotating calipers by two-stage angle sweep (0.117°
+    resolution), vs cv2.minAreaRect's exact hull-edge enumeration.
 
 CTC decode is greedy or prefix-beam (``rec.decode``); exact cv2-contour
 semantics remain available via the staged parity pipeline
@@ -99,6 +100,13 @@ def _connected_components(fg: jnp.ndarray, max_iters: int | None = None) -> jnp.
     a 100× smaller bound on chip time.
     """
     h, w = fg.shape
+    if h * w >= (1 << 30):
+        # labels pack a barrier flag into bit 30 (FLAG/VMASK below); a
+        # det canvas with h·w ≥ 2^30 would silently corrupt labels
+        raise ValueError(
+            f"det canvas {h}x{w} has h*w >= 2^30; the packed segmented "
+            "scan cannot label it"
+        )
     if max_iters is None:
         max_iters = h + w + 8
     big = jnp.int32(h * w)
@@ -110,9 +118,10 @@ def _connected_components(fg: jnp.ndarray, max_iters: int | None = None) -> jnp.
     bg = ~fg
 
     # Segmented min scan with the barrier flag PACKED into bit 30 of the
-    # label lane (labels ≤ h·w < 2^20 for every det bucket): one int32
-    # array through the scan instead of a (value, flag) pair — halves the
-    # scan's memory traffic. The scan itself is HILLIS-STEELE DOUBLING over
+    # label lane (labels ≤ h·w, guarded < 2^30 below — every current det
+    # bucket is ≤ 960² ≈ 2^20): one int32 array through the scan instead
+    # of a (value, flag) pair — halves the scan's memory traffic. The
+    # scan itself is HILLIS-STEELE DOUBLING over
     # contiguous pad-shifts rather than lax.associative_scan: the latter's
     # work-efficient odd/even passes are STRIDED slices on the 128-lane
     # minor dim, which the TPU pays dearly for — doubling does log2(n)
@@ -201,16 +210,20 @@ def _blob_stats(
 
     A blob's label is the flat index of its raster-first pixel, so roots are
     self-identifying (labels[p] == p). Selection is two cheap top_k passes:
-    (1) the first ``4·max_boxes`` roots in raster order (one top_k over a
+    (1) the first ``8·max_boxes`` roots in raster order (one top_k over a
     rootness score — no area histogram; the TPU scatter-add histogram this
     replaces cost 0.64 ms, ~80 % of this function, see
     scripts/profile_blob_stats.py), (2) exact per-candidate areas via a
     masked reduction XLA fuses into the comparison (measured ~free), then
     top-``max_boxes`` by area among the candidates. Equal to the old global
-    area top-K whenever the map has ≤ 4·max_boxes blobs (every golden/test
+    area top-K whenever the map has ≤ 8·max_boxes blobs (every golden/test
     scene); beyond that the candidate set is raster-first — CLOSER to the
     reference, which keeps contours in emission order up to 1000 with no
     area ranking (postprocess_op.cpp:173-184), than a global area sort.
+    The 8·max_boxes (=256 at the serving K=32) candidate ceiling is a
+    documented deviation from the reference's 1000-contour cap
+    (docs/PARITY.md); raise ``fused_max_boxes`` for speckle-dense
+    workloads.
     Tie-break matches the old formulation (equal areas → raster-earlier
     root) because candidates are raster-ordered.
 
@@ -219,18 +232,18 @@ def _blob_stats(
     over (labels, prob) row tiles instead of materializing the [K, H, W]
     membership mask (axis-aligned mode only; TPU single-device paths).
 
-    With ``rotated=True`` also computes each blob's principal-axis oriented
-    rect (PCA over pixel coordinates: orientation from the second central
-    moments — the closed-form stand-in for cv2.minAreaRect's rotating
-    calipers; exact for rectangular blobs, approximate for ragged ones) as
-    (theta, u0, u1, v0, v1) where (u, v) are coordinates in the rotated
-    frame: u = x·cosθ + y·sinθ, v = −x·sinθ + y·cosθ.
+    With ``rotated=True`` also computes each blob's min-area oriented rect
+    by DEVICE ROTATING CALIPERS — a two-stage angle sweep over the blob's
+    per-row extreme points (see the inline comment; near-exact equivalent
+    of cv2.minAreaRect, angle resolution 0.117°, same pixel-center extent
+    convention) — as (theta, u0, u1, v0, v1) where (u, v) are coordinates
+    in the rotated frame: u = x·cosθ + y·sinθ, v = −x·sinθ + y·cosθ.
     """
     h, w = labels.shape
     n = h * w
     flat = labels.reshape(-1)
 
-    n_cand = min(4 * max_boxes, n)
+    n_cand = min(8 * max_boxes, n)
     iota = jnp.arange(n, dtype=jnp.int32)
     rootness = jnp.where(flat == iota, n - iota, 0)  # >0 iff p is a root
     root_val, root_pos = lax.top_k(rootness, n_cand)  # raster-ascending roots
@@ -293,35 +306,63 @@ def _blob_stats(
     if not rotated:
         return stats
 
-    a = jnp.maximum(top_area, 1.0)
-    # second moments as one [K, H·W]×[H·W, 5] matmul on the MXU
-    xf = jnp.tile(jnp.arange(w, dtype=jnp.float32), (h,))
-    yf = jnp.repeat(jnp.arange(h, dtype=jnp.float32), w)
-    coeffs = jnp.stack([xf, yf, xf * xf, yf * yf, xf * yf], axis=1)
-    mom = jnp.einsum(
-        "kp,pc->kc",
-        mf.reshape(max_boxes, -1),
-        coeffs,
-        precision=lax.Precision.HIGHEST,
+    # Rotating calipers as a TWO-STAGE ANGLE SWEEP over each blob's
+    # per-row extreme points. hull(blob) == hull({(rowmin_x, y),
+    # (rowmax_x, y)}) — every blob pixel is a convex combination of its
+    # row's extremes — so min/max projections over these ≤2H points equal
+    # the blob's for EVERY angle. Coarse sweep: 48 angles over [0°, 90°);
+    # fine sweep: 33 angles over ±1 coarse step around each blob's best
+    # (resolution 0.117°). Convention matches cv2.minAreaRect exactly:
+    # the rect spans pixel-CENTER extents of the blob's points, no
+    # half-pixel support (the staged path wraps cv2.minAreaRect,
+    # postprocess_op.cpp:134-168; GetMiniBoxes consumes its sizes as-is).
+    # Replaces the round-3/4 PCA second-moment approximation (word-blob
+    # IoU p10 0.868 → see docs/PARITY.md table) with near-exact calipers;
+    # also CHEAPER: the sweep runs on [K, 2H] points, not [K, H, W] maps.
+    ix_row = jnp.arange(w, dtype=jnp.float32)[None, None, :]
+    rminx = jnp.min(jnp.where(member, ix_row, big), axis=2)  # [K, H]
+    rmaxx = jnp.max(jnp.where(member, ix_row, -big), axis=2)
+    ypts = jnp.tile(
+        jnp.arange(h, dtype=jnp.float32)[None, :], (max_boxes, 1)
     )
-    sx, sy, sxx, syy, sxy = (mom[:, i] for i in range(5))
-    mx, my = sx / a, sy / a
-    cxx = sxx / a - mx * mx
-    cyy = syy / a - my * my
-    cxy = sxy / a - mx * my
-    theta = 0.5 * jnp.arctan2(2.0 * cxy, cxx - cyy)
-    xs = jnp.arange(w, dtype=jnp.float32)[None, None, :]
-    ys = jnp.arange(h, dtype=jnp.float32)[None, :, None]
-    c = jnp.cos(theta)[:, None, None]
-    s = jnp.sin(theta)[:, None, None]
-    u = xs * c + ys * s
-    v = -xs * s + ys * c
-    # half-pixel support of a unit pixel square along each rotated axis
-    m_u = (jnp.abs(c) + jnp.abs(s))[:, 0, 0] * 0.5
-    u0 = jnp.min(jnp.where(member, u, big), axis=(1, 2)) - m_u
-    u1 = jnp.max(jnp.where(member, u, -big), axis=(1, 2)) + m_u
-    v0 = jnp.min(jnp.where(member, v, big), axis=(1, 2)) - m_u
-    v1 = jnp.max(jnp.where(member, v, -big), axis=(1, 2)) + m_u
+    px = jnp.concatenate([rminx, rmaxx], axis=1)  # [K, 2H]
+    py = jnp.concatenate([ypts, ypts], axis=1)
+    pv = jnp.concatenate([rowp, rowp], axis=1)  # [K, 2H] point validity
+
+    def sweep(angles):
+        """angles [A] (shared) or [A, K] (per-blob) → per-blob best
+        (theta, u0, u1, v0, v1) by bounding-rect area."""
+        c = jnp.cos(angles)
+        s = jnp.sin(angles)
+        if angles.ndim == 1:
+            c, s = c[:, None], s[:, None]
+            ang = jnp.broadcast_to(angles[:, None], (angles.shape[0], max_boxes))
+        else:
+            ang = angles
+        u = px[None] * c[..., None] + py[None] * s[..., None]  # [A, K, 2H]
+        v = -px[None] * s[..., None] + py[None] * c[..., None]
+        mask = pv[None]
+        u0 = jnp.min(jnp.where(mask, u, big), axis=2)  # [A, K]
+        u1 = jnp.max(jnp.where(mask, u, -big), axis=2)
+        v0 = jnp.min(jnp.where(mask, v, big), axis=2)
+        v1 = jnp.max(jnp.where(mask, v, -big), axis=2)
+        area = (u1 - u0) * (v1 - v0)
+        best = jnp.argmin(area, axis=0)[None]  # [1, K]
+
+        def take(t):
+            return jnp.take_along_axis(t, best, axis=0)[0]
+
+        return take(ang), take(u0), take(u1), take(v0), take(v1)
+
+    n_coarse = 48
+    coarse_step = jnp.float32(np.pi / 2 / n_coarse)
+    coarse = jnp.arange(n_coarse, dtype=jnp.float32) * coarse_step
+    theta, *_ = sweep(coarse)
+    n_fine = 33
+    offs = (
+        jnp.arange(n_fine, dtype=jnp.float32) / (n_fine - 1) * 2.0 - 1.0
+    ) * coarse_step
+    theta, u0, u1, v0, v1 = sweep(theta[None, :] + offs[:, None])
     stats.update({"theta": theta, "u0": u0, "u1": u1, "v0": v0, "v1": v1})
     return stats
 
@@ -464,8 +505,8 @@ def build_fused_parts(
         )
 
         if rotated:
-            # principal-axis oriented rect (closed-form minAreaRect
-            # approximation — see _blob_stats) in the (u, v) rotated frame
+            # min-area oriented rect (device rotating calipers — see
+            # _blob_stats) in the (u, v) rotated frame
             bw = stats["u1"] - stats["u0"]
             bh = stats["v1"] - stats["v0"]
         else:

@@ -1,4 +1,5 @@
-"""Fused rotated-box mode: principal-axis oriented rects on device (the
+"""Fused rotated-box mode: min-area oriented rects by device rotating
+calipers (the
 closed-form minAreaRect approximation; postprocess_op.cpp:255-331 is the
 staged-path exact analog)."""
 
@@ -21,8 +22,8 @@ def _quad_iou(a, b, shape):
 class TestRotatedStats:
     @pytest.mark.parametrize("angle", [0.0, 12.0, 27.0, -18.0])
     def test_pca_rect_matches_minarearect(self, angle):
-        """For a clean rotated rectangle blob, the PCA-oriented rect must
-        agree with cv2.minAreaRect (angle within ~3°, raster IoU ≥ 0.9)."""
+        """For a clean rotated rectangle blob, the calipers rect must
+        agree with cv2.minAreaRect (angle within 0.2°, raster IoU ≥ 0.95)."""
         import jax
         import jax.numpy as jnp
 
