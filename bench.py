@@ -353,6 +353,40 @@ def run_bench() -> dict:
     jax.block_until_ready(out)
     fused_qps = 40 / (time.perf_counter() - t0)
 
+    # tunnel-tick histogram (VERDICT r4 weak #3): per-request e2e time in
+    # units of the tunnel RTT, split into dispatch (host prep + enqueue +
+    # any synchronous upload) vs fetch (device_get) — identifies WHERE a
+    # request pays a second roundtrip when the p99 doubles. Novel content
+    # per iteration defeats the transfer path's content dedup.
+    tick_samples = []
+    for i in range(ITERS):
+        v = img_padded.copy()
+        v[0, 5, : 64, 2] = i  # unique content, same shape
+        t0 = time.perf_counter()
+        o = step(
+            engine.det_params,
+            engine.rec_params,
+            fused_ocr._cls_params(),
+            v,
+            content_hw,
+        )
+        t1 = time.perf_counter()
+        jax.device_get(o)
+        t2 = time.perf_counter()
+        tick_samples.append(((t1 - t0) * 1e3, (t2 - t1) * 1e3))
+    tick_totals = sorted(d + f for d, f in tick_samples)
+    tick_ms = statistics.median(tick_totals)  # ≈ 1 RTT on the tunnel
+    tick_hist: dict = {}
+    for t in tick_totals:
+        k = str(max(1, round(t / tick_ms)))
+        tick_hist[k] = tick_hist.get(k, 0) + 1
+    disp_p99 = sorted(d for d, _ in tick_samples)[
+        min(ITERS - 1, int(ITERS * 0.99))
+    ]
+    fetch_p99 = sorted(f for _, f in tick_samples)[
+        min(ITERS - 1, int(ITERS * 0.99))
+    ]
+
     # same protocol with a DISTINCT image per dispatch — the honest
     # novel-upload pipelining number (content-identical uploads are
     # deduped by the transfer path, so the loop above measures dispatch
@@ -529,6 +563,12 @@ def run_bench() -> dict:
         "vs_baseline": round(REFERENCE_BASELINE_MS / p50, 3),
         "extra": {
             "p99_ms": round(p99, 3),
+            # tunnel-tick accounting: how many requests paid N roundtrips,
+            # and whether the extra tick lands in dispatch or fetch
+            "e2e_tick_hist": tick_hist,
+            "tick_ms_est": round(tick_ms, 1),
+            "dispatch_p99_ms": round(disp_p99, 1),
+            "fetch_p99_ms": round(fetch_p99, 1),
             "fused_onchip_ms": round(onchip_ms, 3),
             # the BASELINE.md north-star is a per-chip budget; the tunnel
             # adds ~30 ms/dispatch of environment tax on top of it

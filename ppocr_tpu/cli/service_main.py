@@ -64,6 +64,21 @@ def build_parser() -> argparse.ArgumentParser:
         "but bit-exact cv2/Clipper postprocess semantics",
     )
     p.add_argument("--no-warmup", action="store_true", help="skip bucket pre-compilation")
+    p.add_argument(
+        "--warmup",
+        choices=["auto", "full", "incremental", "off"],
+        default="auto",
+        help="variant pre-compilation strategy: full = compile every "
+        "variant before accepting connections (reference-style "
+        "load-then-serve, tens of minutes on a cold tunnel cache for the "
+        "full serving set); incremental = start serving IMMEDIATELY and "
+        "compile the fused variant set one at a time on the event loop "
+        "between requests (a request for an uncompiled variant compiles "
+        "it on demand, jumping the queue); auto (default) = incremental "
+        "for fused single/mesh profiles, full for --staged/--cross-chip; "
+        "off = no precompilation (same on-demand guard). --no-warmup is "
+        "an alias for off",
+    )
     p.add_argument("--status-interval", type=float, default=30.0)
     p.add_argument(
         "--batch-requests",
@@ -344,7 +359,23 @@ async def _amain(args) -> int:
                 "using deterministic stand-in weights",
                 flush=True,
             )
-    if not args.no_warmup:
+    warmup_mode = "off" if args.no_warmup else args.warmup
+    if warmup_mode == "auto":
+        warmup_mode = (
+            "incremental"
+            if config.fast_path and not getattr(config, "cross_chip", False)
+            else "full"
+        )
+    elif warmup_mode == "incremental" and (
+        not config.fast_path or getattr(config, "cross_chip", False)
+    ):
+        print(
+            "--warmup incremental requires the fused single/mesh path "
+            "(drop --staged/--cross-chip or use --warmup full)",
+            flush=True,
+        )
+        return 2
+    if warmup_mode == "full":
         secs = service.engine.warmup()
         print(f"Warmup compiled all shape buckets in {secs:.1f}s", flush=True)
 
@@ -354,6 +385,24 @@ async def _amain(args) -> int:
         f"({service.num_workers} workers)",
         flush=True,
     )
+
+    warmup_task = None
+    if warmup_mode == "incremental":
+        n = len(service.engine.fused_ocr().variant_keys())
+        print(
+            f"Incremental warmup: serving now; compiling {n} fused "
+            "variants in the background (status shows warmup_progress)",
+            flush=True,
+        )
+
+        async def _warm():
+            secs = await service.incremental_warmup()
+            print(
+                f"Incremental warmup finished: {n} variants in {secs:.1f}s",
+                flush=True,
+            )
+
+        warmup_task = asyncio.get_running_loop().create_task(_warm())
 
     loop = asyncio.get_running_loop()
     for sig in (signal.SIGINT, signal.SIGTERM):
@@ -368,6 +417,8 @@ async def _amain(args) -> int:
     status_task = asyncio.get_running_loop().create_task(status_loop())
     await service._stopped.wait()
     status_task.cancel()
+    if warmup_task is not None:
+        warmup_task.cancel()
     if service.recycled:
         print(
             f"Service recycled after {service.total_requests} requests.",

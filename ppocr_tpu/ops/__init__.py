@@ -6,7 +6,14 @@ used in the hot path. Every host op has a golden test against values derived
 from the reference C++ semantics (SURVEY.md §7 step 1).
 """
 
-from .resize import cls_resize, crnn_resize, det_fit_cap, det_resize
+from .resize import (
+    cls_resize,
+    crnn_resize,
+    det_cap_shape,
+    det_fit_cap,
+    det_resize,
+    det_target_shape,
+)
 from .normalize import normalize_chw_np, normalize_imagenet_np, pack_batch
 from .ctc import (
     ctc_beam_search,
@@ -42,8 +49,10 @@ __all__ = [
     "ctc_greedy_collapse",
     "ctc_greedy_decode_np",
     "ctc_topk_device",
+    "det_cap_shape",
     "det_fit_cap",
     "det_resize",
+    "det_target_shape",
     "filter_tag_det_res",
     "get_mini_boxes",
     "get_rotate_crop_image",

@@ -18,14 +18,13 @@ import cv2
 import numpy as np
 
 
-def det_resize(
-    img: np.ndarray, limit_type: str = "max", limit_side_len: int = 960
-) -> Tuple[np.ndarray, float, float]:
-    """Scale so the limiting side hits ``limit_side_len``, then snap each
-    side to the nearest multiple of 32 (floor 32). Returns
-    (resized, ratio_h, ratio_w) where ratios are resized/src.
-    """
-    h, w = img.shape[:2]
+def det_target_shape(
+    h: int, w: int, limit_type: str = "max", limit_side_len: int = 960
+) -> Tuple[int, int]:
+    """Shape-only :func:`det_resize`: the (resize_h, resize_w) a source of
+    (h, w) resolves to — used by the serving layer to predict which
+    compiled variant a request will hit WITHOUT touching pixels
+    (incremental warmup's compile-before-dispatch guard)."""
     ratio = 1.0
     if limit_type == "min":
         if min(h, w) < limit_side_len:
@@ -43,7 +42,18 @@ def det_resize(
     # reference's 96 (review r3)
     resize_h = max(int(resize_h / 32.0 + 0.5) * 32, 32)
     resize_w = max(int(resize_w / 32.0 + 0.5) * 32, 32)
+    return resize_h, resize_w
 
+
+def det_resize(
+    img: np.ndarray, limit_type: str = "max", limit_side_len: int = 960
+) -> Tuple[np.ndarray, float, float]:
+    """Scale so the limiting side hits ``limit_side_len``, then snap each
+    side to the nearest multiple of 32 (floor 32). Returns
+    (resized, ratio_h, ratio_w) where ratios are resized/src.
+    """
+    h, w = img.shape[:2]
+    resize_h, resize_w = det_target_shape(h, w, limit_type, limit_side_len)
     resized = cv2.resize(img, (resize_w, resize_h))
     return resized, resize_h / h, resize_w / w
 
@@ -66,13 +76,21 @@ def det_fit_cap(
     failing. Input/output ratios are resized/src (det_resize convention).
     """
     rh, rw = img.shape[:2]
-    if rh <= cap and rw <= cap:
+    nh, nw = det_cap_shape(rh, rw, cap)
+    if (nh, nw) == (rh, rw):
         return img, ratio_h, ratio_w
+    out = cv2.resize(img, (nw, nh))
+    return out, ratio_h * nh / rh, ratio_w * nw / rw
+
+
+def det_cap_shape(rh: int, rw: int, cap: int) -> Tuple[int, int]:
+    """Shape-only :func:`det_fit_cap` (see :func:`det_target_shape`)."""
+    if rh <= cap and rw <= cap:
+        return rh, rw
     scale = cap / max(rh, rw)
     nh = min(max(int(round(rh * scale / 32) * 32), 32), cap)
     nw = min(max(int(round(rw * scale / 32) * 32), 32), cap)
-    out = cv2.resize(img, (nw, nh))
-    return out, ratio_h * nh / rh, ratio_w * nw / rw
+    return nh, nw
 
 
 def crnn_resize(

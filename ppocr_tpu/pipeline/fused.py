@@ -918,6 +918,13 @@ class FusedOCR:
         self.beam_size = cfg.rec.beam_size
         self.rotated = kw["rotated"]
         self.crop_src_mult = kw["crop_src_mult"]
+        # compiled variant keys (nb, bh, bw): populated by warmup()/
+        # compile_variant() and by every successful process_batch dispatch.
+        # Worker threads may only execute keys in this set — compiling on a
+        # non-main thread deadlocks the TPU tunnel (OCREngine.warmup), so
+        # the serving dispatchers compile missing keys on the event loop
+        # first (incremental warmup, serve.executor/batcher).
+        self._compiled: set = set()
         self._step = build_fused_step(
             use_pallas=engine._pallas_ok(),
             blob_kernel=bool(
@@ -1135,6 +1142,9 @@ class FusedOCR:
                         ),
                     )
                 )
+                # a dispatched variant is a compiled variant (keeps the
+                # incremental-warmup guard exact; set.add is GIL-atomic)
+                self._compiled.add((nb, bh, bw))
         for chunk, pending in inflight:
             out = jax.device_get(pending)  # ONE fetch per device call
             group_done = time.perf_counter()
@@ -1158,31 +1168,91 @@ class FusedOCR:
     def process(self, image_bgr: np.ndarray, request_id: int = 0, worker_id: int = 0) -> Dict:
         return self.process_batch([image_bgr], [request_id], worker_id)[0]
 
-    def warmup(self, batch_buckets=None):
-        """Main-thread precompile of every (det bucket pair × batch bucket)
-        (tunnel compiles deadlock off the main thread — see
-        OCREngine.warmup)."""
+    def variant_keys(self, batch_buckets=None):
+        """The closed set of compiled-variant keys (nb, bh, bw) this config
+        can dispatch, priority-ordered for incremental warmup: smallest
+        batch bucket first (single requests land there), then ascending
+        det bucket area (quick compiles first → earliest serve-readiness
+        per wall-second)."""
         if batch_buckets is None:
             batch_buckets = self.engine.config.request_batch_buckets
         buckets = self.engine.config.det.shape_buckets
+        return [
+            (nb, h, w)
+            for nb in sorted({self._pad_bucket(b) for b in batch_buckets})
+            for h, w in sorted(
+                ((h, w) for h in buckets for w in buckets),
+                key=lambda hw: (hw[0] * hw[1], hw),
+            )
+        ]
+
+    def compile_variant(self, key) -> bool:
+        """Compile ONE (nb, bh, bw) variant with a zero dummy batch and
+        record it. MAIN THREAD ONLY on TPU-tunnel backends. Returns True
+        when a compile actually ran (False = already recorded)."""
+        if key in self._compiled:
+            return False
+        nb, h, w = key
         mult = self.crop_src_mult
-        for nb in sorted({self._pad_bucket(b) for b in batch_buckets}):
-            for h in buckets:
-                for w in buckets:
-                    img = np.zeros((nb, h, w, 3), np.uint8)
-                    content = np.tile(
-                        np.array([[h, w]], np.int32), (nb, 1)
-                    )
-                    step_args = [img, content]
-                    if mult > 1:
-                        step_args.append(
-                            np.zeros((nb, h * mult, w * mult, 3), np.uint8)
-                        )
-                    jax.device_get(
-                        self._step(
-                            self.engine.det_params,
-                            self.engine.rec_params,
-                            self._cls_params(),
-                            *self._place_batch(*step_args),
-                        )
-                    )
+        img = np.zeros((nb, h, w, 3), np.uint8)
+        content = np.tile(np.array([[h, w]], np.int32), (nb, 1))
+        step_args = [img, content]
+        if mult > 1:
+            step_args.append(np.zeros((nb, h * mult, w * mult, 3), np.uint8))
+        jax.device_get(
+            self._step(
+                self.engine.det_params,
+                self.engine.rec_params,
+                self._cls_params(),
+                *self._place_batch(*step_args),
+            )
+        )
+        self._compiled.add(key)
+        return True
+
+    def required_variants(self, images, batch_buckets=None):
+        """The (nb, bh, bw) keys a ``process_batch(images)`` call will
+        dispatch that are NOT yet compiled — the serving dispatchers'
+        compile-before-dispatch guard (shape math only, no pixel work;
+        mirrors process_batch's det_resize→det_fit_cap→bucket→chunk
+        pipeline, pinned equal by tests/test_warmup.py)."""
+        from ..ops import det_cap_shape, det_target_shape
+        from .config import pick_bucket
+
+        cfg = self.engine.config
+        if batch_buckets is None:
+            batch_buckets = cfg.request_batch_buckets
+        groups: Dict[tuple, int] = {}
+        for image in images:
+            rh, rw = det_target_shape(
+                image.shape[0],
+                image.shape[1],
+                cfg.det.limit_type,
+                cfg.det.limit_side_len,
+            )
+            rh, rw = det_cap_shape(rh, rw, cfg.det.shape_buckets[-1])
+            key = (
+                pick_bucket(cfg.det.shape_buckets, rh),
+                pick_bucket(cfg.det.shape_buckets, rw),
+            )
+            groups[key] = groups.get(key, 0) + 1
+        need = []
+        for (bh, bw), count in groups.items():
+            stride = self._pad_bucket(pick_bucket(batch_buckets, count))
+            for beg in range(0, count, stride):
+                nb = self._pad_bucket(
+                    pick_bucket(batch_buckets, min(stride, count - beg))
+                )
+                k = (nb, bh, bw)
+                if k not in self._compiled and k not in need:
+                    need.append(k)
+        return need
+
+    def warmup(self, batch_buckets=None):
+        """Main-thread precompile of every (det bucket pair × batch bucket)
+        (tunnel compiles deadlock off the main thread — see
+        OCREngine.warmup). Incremental alternative: compile
+        ``variant_keys()`` one at a time on the event loop while already
+        serving (serve.service.incremental_warmup)."""
+        for key in self.variant_keys(batch_buckets):
+            self.compile_variant(key)

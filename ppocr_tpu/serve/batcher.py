@@ -142,6 +142,12 @@ class BatchingDispatcher(EngineRecoveryMixin):
         rids = [it[1] for it in items]
         arrivals = [it[3] for it in items]
         try:
+            # incremental warmup: compile any variant this batch needs ON
+            # THE EVENT LOOP (= main thread) before handing it to a worker
+            # thread — thread compiles deadlock the TPU tunnel. No-op once
+            # the variant set is warm (full warmup or earlier requests).
+            for key in fused.required_variants(images):
+                fused.compile_variant(key)
             results = await loop.run_in_executor(
                 self._pool,
                 lambda: fused.process_batch(

@@ -174,6 +174,19 @@ class Dispatcher(EngineRecoveryMixin):
         A device-loss error triggers an engine reload (main-thread warmup)
         and ONE retry — the recovery the reference lacks (SURVEY §5)."""
         loop = asyncio.get_running_loop()
+        cfg = self.engine.config
+        if (
+            cfg.fast_path
+            and not getattr(cfg, "cross_chip", False)
+            and image is not None
+            and image.size
+        ):
+            # incremental warmup: compile missing fused variants here on
+            # the event loop (main thread) — worker-thread compiles
+            # deadlock the TPU tunnel. No-op on a warm variant set.
+            fused = self.engine.fused_ocr()
+            for key in fused.required_variants([image]):
+                fused.compile_variant(key)
         idx = self._pick_worker()
         result = await loop.run_in_executor(
             self._pool, self._run, idx, image, request_id

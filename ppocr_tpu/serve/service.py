@@ -127,6 +127,49 @@ class OCRIPCService:
         self._active_clients = 0
         self._inflight_requests = 0
         self._stopped = asyncio.Event()
+        # incremental-warmup progress, surfaced in status (None = full
+        # warmup / not started)
+        self.warmup_progress: Optional[dict] = None
+
+    # -- incremental warmup --------------------------------------------------
+
+    async def incremental_warmup(self, log=print) -> float:
+        """Compile the fused serving variant set ONE VARIANT AT A TIME on
+        the event loop (= main thread, the only tunnel-safe compile site)
+        while the service is already accepting requests — the reference
+        loads-then-serves in seconds (ocr_det.cpp:23-91,
+        ocr_service_main.cpp:124-129); the full-warmup analog here costs
+        tens of minutes of tunnel compiles for the 75-variant serving set
+        (docs/PERF.md boot table). A request whose variant is not yet
+        compiled is handled by the dispatchers' compile-before-dispatch
+        guard (it effectively jumps the warmup queue); everything else
+        proceeds on already-compiled variants. Requires the fused path
+        (cross-chip/staged profiles keep full warmup). Returns seconds.
+        """
+        import time
+
+        cfg = self.engine.config
+        if not cfg.fast_path or getattr(cfg, "cross_chip", False):
+            raise ValueError(
+                "incremental warmup requires the single/mesh fused path"
+            )
+        fused = self.engine.fused_ocr()
+        keys = fused.variant_keys()
+        t0 = time.time()
+        self.warmup_progress = {"compiled": 0, "total": len(keys)}
+        for i, key in enumerate(keys):
+            # yield first so queued requests (and their guard compiles)
+            # run between variant compiles, never behind the whole set
+            await asyncio.sleep(0)
+            if not self.running and self._server is None:
+                break  # service stopped mid-warmup
+            if fused.compile_variant(key):
+                log(
+                    f"[warmup] fused variant {key} compiled "
+                    f"({i + 1}/{len(keys)}, {time.time() - t0:.1f}s)"
+                )
+            self.warmup_progress["compiled"] = i + 1
+        return time.time() - t0
 
     # -- status ------------------------------------------------------------
 
@@ -155,6 +198,7 @@ class OCRIPCService:
                 "timed_out_requests": self.timed_out_requests,
                 "engine_reloads": getattr(self.dispatcher, "engine_reloads", 0),
                 "reloading": getattr(self.dispatcher, "reloading", False),
+                "warmup_progress": self.warmup_progress,
                 "workers": self.dispatcher.worker_stats(),
             },
             separators=(",", ":"),

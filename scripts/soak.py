@@ -5,13 +5,22 @@ latency percentiles, QPS, error counts, and the service's RSS growth
 (the axon tunnel leaks host RSS proportional to bytes transferred —
 documented environment bug, CLAUDE.md).
 
-    # terminal 1
-    python -m ppocr_tpu.cli.service_main --model-dir ... --fast-path
+    # terminal 1 — the STANDING soak service config (docs/PERF.md):
+    python -m ppocr_tpu.cli.service_main --model-dir /root/reference/models \
+        --processes 3 --batch-requests 4 --recycle-after 4000
     # terminal 2
-    python scripts/soak.py --duration 120 --concurrency 4 \
-        --pid $(pgrep -f service_main | head -1)
+    python scripts/soak.py --standing --check
 
 Prints one JSON summary line.
+
+Gate (VERDICT r4 weak #6 — the soak is an artifact, not prose):
+``--update-good`` writes the summary to SOAK_GOOD.json at the repo root;
+``--check`` compares a fresh run against it and exits 1 when errors > 0
+or QPS regressed more than 20 % — QPS is compared both raw and
+phase-normalized by the same-session single-request control p50 (the
+tunnel's day phase moves absolute latency; the control pins it, so a
+slow-phase run isn't a false alarm and a fast-phase run can't hide a
+real regression). Re-run whenever serve/ changes.
 """
 
 import argparse
@@ -66,7 +75,45 @@ def main() -> int:
         help="also read per-worker-process RSS via the pids in the merged "
         "status (multi-process serving)",
     )
+    p.add_argument(
+        "--control-requests",
+        type=int,
+        default=30,
+        help="sequential single requests run BEFORE the soak on one "
+        "connection; their p50 is the same-session tunnel-phase control "
+        "(0 disables)",
+    )
+    p.add_argument(
+        "--standing",
+        action="store_true",
+        help="the committed standing-soak client config (docs/PERF.md): "
+        "concurrency 12, 150 s, unique payloads, worker RSS tracking",
+    )
+    p.add_argument(
+        "--check",
+        action="store_true",
+        help="gate against SOAK_GOOD.json: exit 1 on errors > 0 or QPS "
+        "more than 20%% below the good run (raw AND phase-normalized)",
+    )
+    p.add_argument(
+        "--update-good",
+        action="store_true",
+        help="write this run's summary to SOAK_GOOD.json",
+    )
+    p.add_argument(
+        "--good-path",
+        default=os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "SOAK_GOOD.json",
+        ),
+    )
     args = p.parse_args()
+    if args.standing:
+        args.concurrency = 12
+        args.duration = 150.0
+        args.vary_images = True
+        args.vary_mode = "comment"
+        args.track_workers = True
 
     import cv2
     import numpy as np
@@ -95,11 +142,30 @@ def main() -> int:
     rss_start = rss_kb(args.pid) if args.pid else -1
     workers_start = worker_pids() if args.track_workers else {}
     latencies, errors, lock = [], [0], threading.Lock()
-    stop_at = time.time() + args.duration
 
     ok0, base_jpg = cv2.imencode(".jpg", base_img)
     assert ok0
     base_jpg = base_jpg.tobytes()
+
+    # same-session single-request control: sequential p50 on ONE
+    # connection pins the tunnel phase this soak ran in (compare soaks
+    # through their controls, never raw across days — docs/PERF.md)
+    control_p50 = None
+    if args.control_requests > 0:
+        c = OCRIPCClient(args.socket, timeout_ms=args.timeout)
+        c.connect()
+        data = base64.b64encode(base_jpg).decode()
+        ctimes = []
+        for _ in range(args.control_requests):
+            t0 = time.perf_counter()
+            r = c.send_request({"command": "recognize", "image_data": data})
+            if r.get("success"):
+                ctimes.append((time.perf_counter() - t0) * 1e3)
+        c.disconnect()
+        if ctimes:
+            control_p50 = round(statistics.median(ctimes), 1)
+
+    stop_at = time.time() + args.duration
 
     def comment_payload(counter: int) -> str:
         """Unique upload bytes at ~zero cost: splice a JPEG COM segment
@@ -173,9 +239,47 @@ def main() -> int:
         else None,
         "worker_rss_kb_start": workers_start or None,
         "worker_rss_kb_end": workers_end or None,
+        "control_p50_ms": control_p50,
+        "standing": args.standing,
     }
     print(json.dumps(summary))
-    return 0
+
+    rc = 0
+    if args.check:
+        try:
+            with open(args.good_path) as f:
+                good = json.load(f)
+        except OSError:
+            print(json.dumps({"check": "no SOAK_GOOD.json — run --update-good"}))
+            good = None
+        if good is not None:
+            problems = []
+            if summary["errors"] > 0:
+                problems.append(f"errors {summary['errors']} > 0")
+            gq = good.get("qps") or 0
+            raw_ok = summary["qps"] >= 0.8 * gq
+            norm_ok = raw_ok
+            if control_p50 and good.get("control_p50_ms"):
+                # phase-normalize: a slower tunnel day lowers QPS through
+                # latency, not through a code regression
+                scale = control_p50 / good["control_p50_ms"]
+                norm_ok = summary["qps"] * scale >= 0.8 * gq
+            if not (raw_ok or norm_ok):
+                problems.append(
+                    f"qps {summary['qps']} < 80% of good {gq} "
+                    f"(control {control_p50} vs {good.get('control_p50_ms')} ms)"
+                )
+            print(
+                json.dumps(
+                    {"check": "FAIL: " + "; ".join(problems) if problems else "ok"}
+                )
+            )
+            rc = 1 if problems else 0
+    if args.update_good and summary["requests_ok"] > 0 and not errors[0]:
+        with open(args.good_path, "w") as f:
+            json.dump(summary, f, indent=1)
+            f.write("\n")
+    return rc
 
 
 if __name__ == "__main__":
