@@ -147,14 +147,17 @@ def _assemble_bundle(md, det_w, rec_w, keys_file):
     shutil.copy(rec_w, os.path.join(md, "rec", "weights.npz"))
 
 
-def _jumbo_accuracy(n_scenes: int = 14):
+def _jumbo_accuracy(n_scenes: int = 34, seeds=(90210, 777, 31337)):
     """(exact_match, homoglyph_normalized_match) of the ~5,000-class jumbo
     bundle (weights/rec_scene_jumbo.npz over weights/jumbo_keys.txt —
     reference-SCALE class counts, VERDICT r2 missing #1), or (None, None)
     while the trained jumbo bundle is absent. Normalization collapses the
     computed render-identical families (weights/jumbo_homoglyphs.txt): at
     this scale DejaVu draws hundreds of codepoints pixel-identically, so
-    the normalized number is the real signal."""
+    the normalized number is the real signal — the measured raw ceiling of
+    a PERFECT model on this distribution is ~0.79 (same-font pixel-clone
+    analysis, docs/PERF.md "jumbo raw ceiling"). Protocol matches the
+    ≥200-word gate eval (tests/test_e2e_trained_jumbo.py EVAL_SEEDS)."""
     import tempfile
 
     from ppocr_tpu.pipeline import OCREngine, OCRWorker
@@ -178,12 +181,17 @@ def _jumbo_accuracy(n_scenes: int = 14):
     with tempfile.TemporaryDirectory() as md:
         _assemble_bundle(md, det_w, rec_w, JUMBO_KEYS_FILE)
         worker = OCRWorker(OCREngine(md, _accuracy_cfg(256)), worker_id=0)
-        exact, norm_exact, total = _score_scenes(
-            worker,
-            text_scene_dataset("jumbo", seed=90210),
-            n_scenes,
-            lambda t: homoglyph_normalize(t, fam),
-        )
+        exact = norm_exact = total = 0
+        for seed in seeds:
+            e, ne, t = _score_scenes(
+                worker,
+                text_scene_dataset("jumbo", seed=seed),
+                n_scenes,
+                lambda t: homoglyph_normalize(t, fam),
+            )
+            if e is None:
+                return None, None
+            exact, norm_exact, total = exact + e, norm_exact + ne, total + t
         if total == 0:
             return None, None
         return (
@@ -428,13 +436,19 @@ def run_bench() -> dict:
 
         return looped
 
-    n_loop = 17
-    l1, ln = _make_loop(1), _make_loop(n_loop)
+    # TWO-LOOP-SIZE delta, (T(17) − T(9))/8: both measurements carry the
+    # same tunnel RTT + dispatch fixed cost, so the subtraction cancels it
+    # symmetrically — the old (T(N) − T(1))/(N−1) form let RTT jitter on
+    # the tiny T(1) leak straight into the per-step number (the r4
+    # rec_sat −13% "regression" was exactly this: zero rec-path commits
+    # between the two runs, docs/PERF.md "protocol v2"). min-of-3 trials.
+    n_lo, n_hi = 9, 17
+    l_lo, l_hi = _make_loop(n_lo), _make_loop(n_hi)
     margs = (engine.det_params, engine.rec_params)
 
     def _best(loop, salt, img, chw):
         ts = []
-        for i in range(2):
+        for i in range(3):
             v = img.copy()
             v[0, 9, 9, 1] = salt + i
             t0 = time.perf_counter()
@@ -442,12 +456,12 @@ def run_bench() -> dict:
             ts.append(time.perf_counter() - t0)
         return min(ts)
 
-    jax.device_get(l1(*margs, img_padded, content_hw))  # compile
-    jax.device_get(ln(*margs, img_padded, content_hw))
+    jax.device_get(l_lo(*margs, img_padded, content_hw))  # compile
+    jax.device_get(l_hi(*margs, img_padded, content_hw))
     onchip_ms = (
-        _best(ln, 170, img_padded, content_hw)
-        - _best(l1, 40, img_padded, content_hw)
-    ) / (n_loop - 1) * 1e3
+        _best(l_hi, 170, img_padded, content_hw)
+        - _best(l_lo, 40, img_padded, content_hw)
+    ) / (n_hi - n_lo) * 1e3
 
     # --- MFU / roofline + saturated throughput (VERDICT r3 weak #4) ---
     # FLOPs from XLA's own HLO cost analysis of the fused step; MFU = how
@@ -469,12 +483,12 @@ def run_bench() -> dict:
     sat_b = 8
     img_sat = np.repeat(img_padded, sat_b, axis=0)
     content_sat = np.repeat(content_hw, sat_b, axis=0)
-    jax.device_get(l1(*margs, img_sat, content_sat))  # compile batched
-    jax.device_get(ln(*margs, img_sat, content_sat))
+    jax.device_get(l_lo(*margs, img_sat, content_sat))  # compile batched
+    jax.device_get(l_hi(*margs, img_sat, content_sat))
     sat_ms = (
-        _best(ln, 171, img_sat, content_sat)
-        - _best(l1, 41, img_sat, content_sat)
-    ) / (n_loop - 1) * 1e3
+        _best(l_hi, 171, img_sat, content_sat)
+        - _best(l_lo, 41, img_sat, content_sat)
+    ) / (n_hi - n_lo) * 1e3
     fused_sat_ips = sat_b / sat_ms * 1e3 if sat_ms > 0 else None
     sat_flops = _flops_of(
         step, engine.det_params, engine.rec_params, None, img_sat,
@@ -508,15 +522,16 @@ def run_bench() -> dict:
 
         return looped
 
-    # the rec step is ~0.3 ms, so the loop count must be large enough for
-    # the N−1 delta to dwarf the tunnel's ±5 ms roundtrip noise (17 iters
-    # measured a nonsense 124% MFU)
-    n_rec_loop = 129
-    r1, rn = _make_rec_loop(1), _make_rec_loop(n_rec_loop)
+    # the rec step is ~0.3 ms, so the loop counts must be large enough for
+    # the delta to dwarf the tunnel's ±5 ms roundtrip noise (17 iters
+    # measured a nonsense 124% MFU). Two-loop-size delta + min-of-3, like
+    # the fused protocol above (protocol v2, docs/PERF.md).
+    n_rec_lo, n_rec_hi = 65, 129
+    r_lo, r_hi = _make_rec_loop(n_rec_lo), _make_rec_loop(n_rec_hi)
 
     def _best_rec(loop, salt):
         ts = []
-        for i in range(2):
+        for i in range(3):
             v = crops_sat.copy()
             v[0, 0, 0, 0] = salt + i
             t0 = time.perf_counter()
@@ -524,11 +539,11 @@ def run_bench() -> dict:
             ts.append(time.perf_counter() - t0)
         return min(ts)
 
-    jax.device_get(r1(engine.rec_params, crops_sat))  # compile
-    jax.device_get(rn(engine.rec_params, crops_sat))
+    jax.device_get(r_lo(engine.rec_params, crops_sat))  # compile
+    jax.device_get(r_hi(engine.rec_params, crops_sat))
     rec_sat_ms = (
-        _best_rec(rn, 3.0) - _best_rec(r1, 1.0)
-    ) / (n_rec_loop - 1) * 1e3
+        _best_rec(r_hi, 3.0) - _best_rec(r_lo, 1.0)
+    ) / (n_rec_hi - n_rec_lo) * 1e3
     rec_sat_cps = rec_b / rec_sat_ms * 1e3 if rec_sat_ms > 0 else None
     recf = jax.jit(rec_forward)
     rec_flops = _flops_of(

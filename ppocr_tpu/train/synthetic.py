@@ -236,6 +236,18 @@ def render_glyph_families(alphabet: str) -> List[str]:
 
 
 @functools.lru_cache(maxsize=None)
+def jumbo_hard_chars() -> str:
+    """The jumbo-scale hard-pair training set: every char that belongs to
+    a multi-member render family (jumbo_homoglyph_map). Within a SINGLE
+    font many of these stay distinguishable (the transitive family map
+    unions across all six faces), so oversampling them teaches the model
+    the per-font style cues that separate cross-font confusables — the
+    jumbo analog of the curated ascii HOMOGLYPHS trick that took the
+    ascii gate raw 0.92 → 1.00 (VERDICT r4 weak #4)."""
+    return "".join(sorted(jumbo_homoglyph_map().keys()))
+
+
+@functools.lru_cache(maxsize=None)
 def jumbo_homoglyph_map(
     families_file: str = JUMBO_HOMOGLYPHS_FILE,
 ) -> Dict[str, str]:

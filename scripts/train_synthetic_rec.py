@@ -110,11 +110,20 @@ def main() -> int:
         kw = {"max_len": args.max_len} if args.max_len else {}
         if args.hard_frac > 0:
             # oversample near-homoglyph chars (training only — the
-            # eval/gate datasets keep the canonical distribution)
-            from ppocr_tpu.train.synthetic import HOMOGLYPHS
-
+            # eval/gate datasets keep the canonical distribution). jumbo
+            # mode uses the computed cross-font confusable set (~570
+            # chars); the curated ascii HOMOGLYPHS otherwise.
             kw["hard_frac"] = args.hard_frac
-            kw["hard_chars"] = "".join(c for fam in HOMOGLYPHS for c in fam)
+            if args.alphabet == "jumbo":
+                from ppocr_tpu.train.synthetic import jumbo_hard_chars
+
+                kw["hard_chars"] = jumbo_hard_chars()
+            else:
+                from ppocr_tpu.train.synthetic import HOMOGLYPHS
+
+                kw["hard_chars"] = "".join(
+                    c for fam in HOMOGLYPHS for c in fam
+                )
         if args.alphabet != "digits":
             from ppocr_tpu.train.synthetic import text_scene_dataset
 

@@ -77,43 +77,62 @@ def jumbo_model_dir(tmp_path_factory, reference_models):
     return md
 
 
-def _score(worker, n_scenes, seed):
+"""Eval width (VERDICT r4 weak #4): the round-4 gates scored 14 scenes /
+~27 words — ±0.15 confidence at the 0.80 gate. EVAL_SEEDS × EVAL_SCENES
+now yields ≥200 held-out words (~238), taking the 95% CI under ±0.05."""
+EVAL_SEEDS = (90210, 777, 31337)
+EVAL_SCENES = 34  # per seed → ≥200 words total
+
+
+def _score(worker, n_scenes=EVAL_SCENES, seeds=EVAL_SEEDS):
     """(exact, norm_exact, total, det_found, det_gt, misses) over held-out
     jumbo scenes (the canonical train.synthetic.text_scene_dataset
     distribution at held-out seeds)."""
-    ds = text_scene_dataset("jumbo", seed=seed)
     fam = jumbo_homoglyph_map()
     total = exact = norm_exact = det_found = det_gt = 0
     misses = []
-    for s in range(n_scenes):
-        scene, placed = ds.sample_scene()
-        r = worker.process(scene, s)
-        assert r["success"] is True
-        det_gt += len(placed)
-        det_found += len(r["words"])
-        for t, (x0, y0, x1, y1) in placed:
-            best, biou = None, 0.2
-            for word in r["words"]:
-                bx = np.array(word["box"])
-                wx0, wy0 = bx.min(0)
-                wx1, wy1 = bx.max(0)
-                ix0, iy0 = max(x0, wx0), max(y0, wy0)
-                ix1, iy1 = min(x1, wx1), min(y1, wy1)
-                inter = max(0, ix1 - ix0) * max(0, iy1 - iy0)
-                ua = (x1 - x0) * (y1 - y0) + (wx1 - wx0) * (wy1 - wy0) - inter
-                v = inter / ua if ua > 0 else 0.0
-                if v > biou:
-                    biou, best = v, word
-            total += 1
-            if best is not None and best["text"] == t:
-                exact += 1
-            if best is not None and homoglyph_normalize(
-                best["text"], fam
-            ) == homoglyph_normalize(t, fam):
-                norm_exact += 1
-            else:
-                misses.append((t, best["text"] if best else None))
+    for seed in seeds:
+        ds = text_scene_dataset("jumbo", seed=seed)
+        for s in range(n_scenes):
+            scene, placed = ds.sample_scene()
+            r = worker.process(scene, s)
+            assert r["success"] is True
+            det_gt += len(placed)
+            det_found += len(r["words"])
+            exact_, norm_, tot_ = _score_placed(
+                placed, r["words"], fam, misses
+            )
+            exact += exact_
+            norm_exact += norm_
+            total += tot_
     return exact, norm_exact, total, det_found, det_gt, misses
+
+
+def _score_placed(placed, words, fam, misses):
+    total = exact = norm_exact = 0
+    for t, (x0, y0, x1, y1) in placed:
+        best, biou = None, 0.2
+        for word in words:
+            bx = np.array(word["box"])
+            wx0, wy0 = bx.min(0)
+            wx1, wy1 = bx.max(0)
+            ix0, iy0 = max(x0, wx0), max(y0, wy0)
+            ix1, iy1 = min(x1, wx1), min(y1, wy1)
+            inter = max(0, ix1 - ix0) * max(0, iy1 - iy0)
+            ua = (x1 - x0) * (y1 - y0) + (wx1 - wx0) * (wy1 - wy0) - inter
+            v = inter / ua if ua > 0 else 0.0
+            if v > biou:
+                biou, best = v, word
+        total += 1
+        if best is not None and best["text"] == t:
+            exact += 1
+        if best is not None and homoglyph_normalize(
+            best["text"], fam
+        ) == homoglyph_normalize(t, fam):
+            norm_exact += 1
+        else:
+            misses.append((t, best["text"] if best else None))
+    return exact, norm_exact, total
 
 
 @pytest.fixture(scope="module")
@@ -121,14 +140,14 @@ def staged_score(jumbo_model_dir):
     eng = OCREngine(str(jumbo_model_dir), _cfg())
     assert eng.random_weights == {"det": False, "rec": False}
     assert len(eng.charset) > 4500  # the custom keys file is in force
-    return _score(OCRWorker(eng, 0), 14, 90210)
+    return _score(OCRWorker(eng, 0))
 
 
 class TestJumboGates:
     def test_staged_pipeline_reads_jumbo_charset(self, staged_score):
         exact, norm, total, det_found, det_gt, misses = staged_score
-        assert total >= 20
-        assert det_found >= det_gt - 2, (det_found, det_gt)
+        assert total >= 200  # statistical floor (VERDICT r4 weak #4)
+        assert det_found >= det_gt - 2 - det_gt // 50, (det_found, det_gt)
         assert norm / total >= 0.80, (
             f"{norm}/{total} normalized ({exact} raw); misses: {misses}"
         )
@@ -147,15 +166,17 @@ class TestJumboGates:
         cfg.det.shape_buckets = (96,)
         eng = OCREngine(str(jumbo_model_dir), cfg)
         exact, norm, total, det_found, det_gt, misses = _score(
-            OCRWorker(eng, 0), 14, 90210
+            OCRWorker(eng, 0)
         )
-        assert det_found >= det_gt - 2, (det_found, det_gt)
+        assert total >= 200
+        assert det_found >= det_gt - 2 - det_gt // 50, (det_found, det_gt)
         assert norm / total >= 0.80, (
             f"{norm}/{total} normalized ({exact} raw); misses: {misses}"
         )
-        # the fused path may not lose more than 1 word vs staged on the
-        # SAME scenes/seed (VERDICT r3 next-step #2's done criterion)
-        assert norm >= staged_score[1] - 1, (
+        # the fused path may not lose more than 2 words vs staged on the
+        # SAME scenes/seeds (VERDICT r4 next-step #4's criterion at the
+        # >=200-word sample)
+        assert norm >= staged_score[1] - 2, (
             f"fused {norm} vs staged {staged_score[1]} normalized; "
             f"misses: {misses}"
         )

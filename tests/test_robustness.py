@@ -21,6 +21,14 @@ class FakeFused:
         self.calls = 0
         self.fail_next = 0
 
+    # the incremental-warmup guard's surface (a warm real FusedOCR
+    # returns [] here; pipeline/fused.py required_variants)
+    def required_variants(self, images, batch_buckets=None):
+        return []
+
+    def compile_variant(self, key):
+        return False
+
     def process_batch(
         self,
         images,

@@ -195,6 +195,9 @@ class _RaisingFused:
     def process(self, image, request_id, worker_id=0):
         raise RuntimeError(self.msg)
 
+    def required_variants(self, images, batch_buckets=None):
+        return []  # warm-set surface (incremental-warmup guard)
+
 
 class _FakeFusedEngine:
     def __init__(self, msg="INTERNAL: stream closed: device_unavailable"):
@@ -237,6 +240,9 @@ class TestFusedWorkerDeviceLoss:
                     "success": True,
                     "words": [],
                 }
+
+            def required_variants(self, images, batch_buckets=None):
+                return []
 
         def reload(warmup=False):
             eng.reload_calls += 1
