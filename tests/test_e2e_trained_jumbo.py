@@ -145,13 +145,16 @@ def staged_score(jumbo_model_dir):
 
 class TestJumboGates:
     def test_staged_pipeline_reads_jumbo_charset(self, staged_score):
+        # thresholds re-tightened to the round-5 retrain (56k total steps
+        # with jumbo hard-pair oversampling; measured staged 0.9242
+        # normalized / 0.6398 raw on this exact protocol) with ~1-CI margin
         exact, norm, total, det_found, det_gt, misses = staged_score
         assert total >= 200  # statistical floor (VERDICT r4 weak #4)
         assert det_found >= det_gt - 2 - det_gt // 50, (det_found, det_gt)
-        assert norm / total >= 0.80, (
+        assert norm / total >= 0.90, (
             f"{norm}/{total} normalized ({exact} raw); misses: {misses}"
         )
-        assert exact / total >= 0.60, f"{exact}/{total} raw; misses: {misses}"
+        assert exact / total >= 0.62, f"{exact}/{total} raw; misses: {misses}"
 
     def test_fused_pipeline_reads_jumbo_charset(
         self, jumbo_model_dir, staged_score
@@ -170,7 +173,7 @@ class TestJumboGates:
         )
         assert total >= 200
         assert det_found >= det_gt - 2 - det_gt // 50, (det_found, det_gt)
-        assert norm / total >= 0.80, (
+        assert norm / total >= 0.90, (
             f"{norm}/{total} normalized ({exact} raw); misses: {misses}"
         )
         # the fused path may not lose more than 2 words vs staged on the
