@@ -436,32 +436,55 @@ def run_bench() -> dict:
 
         return looped
 
-    # TWO-LOOP-SIZE delta, (T(17) − T(9))/8: both measurements carry the
-    # same tunnel RTT + dispatch fixed cost, so the subtraction cancels it
-    # symmetrically — the old (T(N) − T(1))/(N−1) form let RTT jitter on
-    # the tiny T(1) leak straight into the per-step number (the r4
-    # rec_sat −13% "regression" was exactly this: zero rec-path commits
-    # between the two runs, docs/PERF.md "protocol v2"). min-of-3 trials.
-    n_lo, n_hi = 9, 17
-    l_lo, l_hi = _make_loop(n_lo), _make_loop(n_hi)
+    # TWO-LOOP-SIZE delta, (T(n_hi) − T(n_lo))/(n_hi − n_lo): both
+    # measurements carry the same tunnel RTT + dispatch fixed cost, so the
+    # subtraction cancels it symmetrically — the old (T(N) − T(1))/(N−1)
+    # form let RTT jitter on the tiny T(1) leak straight into the per-step
+    # number (the r4 rec_sat −13% "regression" was exactly this: zero
+    # rec-path commits between the two runs). Protocol v3 hardening
+    # (docs/PERF.md): the r5 first --update-good attempt read rec_sat 4×
+    # low because the hi loop was timed IMMEDIATELY after its own compile
+    # (persistent-cache writeback + executable-load polluted ALL trials of
+    # one delta side; a standalone re-probe measured a steady ~930 µs/step
+    # across four loop sizes). So: (a) one throwaway settle run per loop
+    # after compile, (b) lo/hi trials INTERLEAVED so slow drift hits both
+    # sides, (c) min-of-5, (d) loop-size gaps large enough that the true
+    # delta dwarfs one tunnel tick. fori_loop keeps the compiled graph
+    # size independent of n, so large n_hi costs nothing extra to build.
     margs = (engine.det_params, engine.rec_params)
 
-    def _best(loop, salt, img, chw):
-        ts = []
-        for i in range(3):
+    def _delta_ms(l_lo, l_hi, n_lo, n_hi, call_lo, call_hi, trials=5):
+        """Per-step ms via interleaved min-of-`trials` two-size delta."""
+        lo_ts, hi_ts = [], []
+        for i in range(trials):
+            t0 = time.perf_counter()
+            jax.device_get(call_lo(l_lo, i))
+            lo_ts.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            jax.device_get(call_hi(l_hi, i))
+            hi_ts.append(time.perf_counter() - t0)
+        return (min(hi_ts) - min(lo_ts)) / (n_hi - n_lo) * 1e3
+
+    n_lo, n_hi = 9, 41
+    l_lo, l_hi = _make_loop(n_lo), _make_loop(n_hi)
+
+    def _fused_call(img, chw, salt):
+        def call(loop, i):
             v = img.copy()
             v[0, 9, 9, 1] = salt + i
-            t0 = time.perf_counter()
-            jax.device_get(loop(*margs, v, chw))
-            ts.append(time.perf_counter() - t0)
-        return min(ts)
+            return loop(*margs, v, chw)
+
+        return call
 
     jax.device_get(l_lo(*margs, img_padded, content_hw))  # compile
     jax.device_get(l_hi(*margs, img_padded, content_hw))
-    onchip_ms = (
-        _best(l_hi, 170, img_padded, content_hw)
-        - _best(l_lo, 40, img_padded, content_hw)
-    ) / (n_hi - n_lo) * 1e3
+    jax.device_get(l_lo(*margs, img_padded, content_hw))  # settle
+    jax.device_get(l_hi(*margs, img_padded, content_hw))
+    onchip_ms = _delta_ms(
+        l_lo, l_hi, n_lo, n_hi,
+        _fused_call(img_padded, content_hw, 40),
+        _fused_call(img_padded, content_hw, 170),
+    )
 
     # --- MFU / roofline + saturated throughput (VERDICT r3 weak #4) ---
     # FLOPs from XLA's own HLO cost analysis of the fused step; MFU = how
@@ -485,10 +508,13 @@ def run_bench() -> dict:
     content_sat = np.repeat(content_hw, sat_b, axis=0)
     jax.device_get(l_lo(*margs, img_sat, content_sat))  # compile batched
     jax.device_get(l_hi(*margs, img_sat, content_sat))
-    sat_ms = (
-        _best(l_hi, 171, img_sat, content_sat)
-        - _best(l_lo, 41, img_sat, content_sat)
-    ) / (n_hi - n_lo) * 1e3
+    jax.device_get(l_lo(*margs, img_sat, content_sat))  # settle
+    jax.device_get(l_hi(*margs, img_sat, content_sat))
+    sat_ms = _delta_ms(
+        l_lo, l_hi, n_lo, n_hi,
+        _fused_call(img_sat, content_sat, 41),
+        _fused_call(img_sat, content_sat, 171),
+    )
     fused_sat_ips = sat_b / sat_ms * 1e3 if sat_ms > 0 else None
     sat_flops = _flops_of(
         step, engine.det_params, engine.rec_params, None, img_sat,
@@ -522,28 +548,28 @@ def run_bench() -> dict:
 
         return looped
 
-    # the rec step is ~0.3 ms, so the loop counts must be large enough for
-    # the delta to dwarf the tunnel's ±5 ms roundtrip noise (17 iters
-    # measured a nonsense 124% MFU). Two-loop-size delta + min-of-3, like
-    # the fused protocol above (protocol v2, docs/PERF.md).
-    n_rec_lo, n_rec_hi = 65, 129
+    # the rec step is sub-ms, so the loop counts must be large enough for
+    # the delta to dwarf one tunnel tick (~33-40 ms): 192 extra steps ≈
+    # 180 ms of true delta. Protocol v3: settle runs + interleaved
+    # min-of-5 via _delta_ms, same as the fused loops above.
+    n_rec_lo, n_rec_hi = 65, 257
     r_lo, r_hi = _make_rec_loop(n_rec_lo), _make_rec_loop(n_rec_hi)
 
-    def _best_rec(loop, salt):
-        ts = []
-        for i in range(3):
+    def _rec_call(salt):
+        def call(loop, i):
             v = crops_sat.copy()
             v[0, 0, 0, 0] = salt + i
-            t0 = time.perf_counter()
-            jax.device_get(loop(engine.rec_params, v))
-            ts.append(time.perf_counter() - t0)
-        return min(ts)
+            return loop(engine.rec_params, v)
+
+        return call
 
     jax.device_get(r_lo(engine.rec_params, crops_sat))  # compile
     jax.device_get(r_hi(engine.rec_params, crops_sat))
-    rec_sat_ms = (
-        _best_rec(r_hi, 3.0) - _best_rec(r_lo, 1.0)
-    ) / (n_rec_hi - n_rec_lo) * 1e3
+    jax.device_get(r_lo(engine.rec_params, crops_sat))  # settle
+    jax.device_get(r_hi(engine.rec_params, crops_sat))
+    rec_sat_ms = _delta_ms(
+        r_lo, r_hi, n_rec_lo, n_rec_hi, _rec_call(1.0), _rec_call(3.0)
+    )
     rec_sat_cps = rec_b / rec_sat_ms * 1e3 if rec_sat_ms > 0 else None
     recf = jax.jit(rec_forward)
     rec_flops = _flops_of(
@@ -647,10 +673,28 @@ def check_regressions(result: dict, good: dict) -> list:
     if good:
         limit = good["value"] * 1.20
         if result["value"] > limit:
-            fails.append(
-                f"p50 {result['value']} ms > {limit:.1f} ms "
-                f"(+20% over good {good['value']})"
-            )
+            # the e2e p50 is tunnel-dominated (1 RTT + on-chip step), and
+            # the tunnel RTT itself swings between sessions (observed
+            # 33 → 39.4 ms "phases"). Normalize by each run's own measured
+            # tick before failing: only a regression that survives
+            # tick-normalization is the code's fault (docs/PERF.md
+            # "protocol v3"). Absolute p50 is still reported verbatim.
+            good_tick = good.get("extra", {}).get("tick_ms_est")
+            tick = extra.get("tick_ms_est")
+            if good_tick and tick:
+                norm = result["value"] / tick
+                good_norm = good["value"] / good_tick
+                if norm > good_norm * 1.20:
+                    fails.append(
+                        f"p50 {result['value']} ms ({norm:.2f} ticks) > "
+                        f"+20% over good {good['value']} ms "
+                        f"({good_norm:.2f} ticks), tick-normalized"
+                    )
+            else:
+                fails.append(
+                    f"p50 {result['value']} ms > {limit:.1f} ms "
+                    f"(+20% over good {good['value']})"
+                )
         good_acc = good.get("extra", {}).get("trained_weights_e2e_exact_match")
         acc = extra.get("trained_weights_e2e_exact_match")
         good_gate = good.get("extra", {}).get("trained_gate")

@@ -149,6 +149,31 @@ class TestBenchRegressionGate:
         assert any("+20%" in f for f in fails)
         assert bench.check_regressions(self._result(p50=43.0), self.GOOD) == []
 
+    def test_p50_gate_tick_normalized(self):
+        """When both runs carry a measured tunnel tick, the p50 gate
+        compares TICKS, not ms: a slower tunnel phase (33 → 39.4 ms RTT)
+        must not fire the gate, while a genuine on-chip regression in the
+        same phase must (r5 protocol v3, docs/PERF.md)."""
+        import bench
+
+        good = {
+            "value": 34.9,
+            "extra": {
+                "trained_weights_e2e_exact_match": 1.0,
+                "tick_ms_est": 33.0,
+            },
+        }
+        # +25% absolute, but the tunnel tick grew +19% — normalized, the
+        # regression is only ~4.4% → pass
+        res = self._result(p50=43.5)
+        res["extra"]["tick_ms_est"] = 39.4
+        assert bench.check_regressions(res, good) == []
+        # same tick, +43% absolute → genuine regression, must fail
+        res = self._result(p50=50.0)
+        res["extra"]["tick_ms_est"] = 33.0
+        fails = bench.check_regressions(res, good)
+        assert any("tick-normalized" in f for f in fails)
+
     def test_accuracy_regression_enforced(self):
         import bench
 
