@@ -32,6 +32,7 @@ import binascii
 import json
 import os
 import threading
+import time
 from typing import Optional
 
 import cv2
@@ -126,6 +127,10 @@ class OCRIPCService:
         self._loop: Optional[asyncio.AbstractEventLoop] = None
         self._active_clients = 0
         self._inflight_requests = 0
+        # monotonic stamp of the last completed recognize — incremental
+        # warmup requires a short idle grace past it before burning loop
+        # time on the next background compile (see incremental_warmup)
+        self._last_request_ts = 0.0
         self._stopped = asyncio.Event()
         # incremental-warmup progress, surfaced in status (None = full
         # warmup / not started)
@@ -146,8 +151,6 @@ class OCRIPCService:
         proceeds on already-compiled variants. Requires the fused path
         (cross-chip/staged profiles keep full warmup). Returns seconds.
         """
-        import time
-
         cfg = self.engine.config
         if not cfg.fast_path or getattr(cfg, "cross_chip", False):
             raise ValueError(
@@ -158,9 +161,25 @@ class OCRIPCService:
         t0 = time.time()
         self.warmup_progress = {"compiled": 0, "total": len(keys)}
         for i, key in enumerate(keys):
-            # yield first so queued requests (and their guard compiles)
-            # run between variant compiles, never behind the whole set
-            await asyncio.sleep(0)
+            # Yield MEANINGFULLY before each compile. A bare sleep(0)
+            # re-queues this coroutine ahead of freshly-polled I/O
+            # callbacks, so a request whose bytes arrived during the
+            # previous ~minute-long compile advanced only ~one socket
+            # read per compile — the r5 boot measurement caught a single
+            # recognize starved ~10 variant compiles deep. A real tick
+            # lets all pending I/O + handler steps run first; then hold
+            # while requests are in flight (plus a 1 s idle grace so
+            # request bursts don't pay a compile between members). Under
+            # sustained load background warmup pauses entirely — the
+            # dispatchers' compile-before-dispatch guard still warms
+            # demanded variants, so the demanded subset completes anyway
+            # and warmup_progress in status shows the pause honestly.
+            await asyncio.sleep(0.05)
+            while self.running and (
+                self._inflight_requests > 0
+                or time.monotonic() - self._last_request_ts < 1.0
+            ):
+                await asyncio.sleep(0.05)
             if not self.running and self._server is None:
                 break  # service stopped mid-warmup
             if fused.compile_variant(key):
@@ -271,6 +290,7 @@ class OCRIPCService:
                     }
                 finally:
                     self._inflight_requests -= 1
+                    self._last_request_ts = time.monotonic()
                 if result.get("success"):
                     self.successful_requests += 1
                     self.total_processing_time += result.get(
