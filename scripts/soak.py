@@ -35,6 +35,38 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def gate_problems(good: dict, summary: dict) -> list:
+    """Pure gate: compare a fresh soak ``summary`` against the committed
+    SOAK_GOOD ``good``. Returns a list of problem strings (empty = pass).
+
+    Rules (docs/PERF.md "Standing soak"): errors must be 0, and QPS must
+    be within -20% of the good run either raw OR phase-normalized by the
+    same-session single-request control p50 (the tunnel's day phase moves
+    absolute latency; the control pins it, so a slow-phase run isn't a
+    false alarm and a fast-phase run can't hide a real regression —
+    normalization is applied symmetrically, so a fast phase SCALES the
+    requirement up as well).
+    """
+    problems = []
+    if summary["errors"] > 0:
+        problems.append(f"errors {summary['errors']} > 0")
+    gq = good.get("qps") or 0
+    control_p50 = summary.get("control_p50_ms")
+    raw_ok = summary["qps"] >= 0.8 * gq
+    norm_ok = raw_ok
+    if control_p50 and good.get("control_p50_ms"):
+        # phase-normalize: a slower tunnel day lowers QPS through
+        # latency, not through a code regression
+        scale = control_p50 / good["control_p50_ms"]
+        norm_ok = summary["qps"] * scale >= 0.8 * gq
+    if not (raw_ok or norm_ok):
+        problems.append(
+            f"qps {summary['qps']} < 80% of good {gq} "
+            f"(control {control_p50} vs {good.get('control_p50_ms')} ms)"
+        )
+    return problems
+
+
 def rss_kb(pid: int) -> int:
     try:
         with open(f"/proc/{pid}/status") as f:
@@ -253,22 +285,7 @@ def main() -> int:
             print(json.dumps({"check": "no SOAK_GOOD.json — run --update-good"}))
             good = None
         if good is not None:
-            problems = []
-            if summary["errors"] > 0:
-                problems.append(f"errors {summary['errors']} > 0")
-            gq = good.get("qps") or 0
-            raw_ok = summary["qps"] >= 0.8 * gq
-            norm_ok = raw_ok
-            if control_p50 and good.get("control_p50_ms"):
-                # phase-normalize: a slower tunnel day lowers QPS through
-                # latency, not through a code regression
-                scale = control_p50 / good["control_p50_ms"]
-                norm_ok = summary["qps"] * scale >= 0.8 * gq
-            if not (raw_ok or norm_ok):
-                problems.append(
-                    f"qps {summary['qps']} < 80% of good {gq} "
-                    f"(control {control_p50} vs {good.get('control_p50_ms')} ms)"
-                )
+            problems = gate_problems(good, summary)
             print(
                 json.dumps(
                     {"check": "FAIL: " + "; ".join(problems) if problems else "ok"}
